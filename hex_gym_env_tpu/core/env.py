@@ -1,0 +1,220 @@
+"""Pure-functional batched Hex environment.
+
+Semantics reproduce the reference's canonical single-agent env
+(``minihex/HexSingleGame.py`` — variant "B", the one used by every shipped
+experiment) exactly, but re-expressed in a fixed *world frame* so that
+thousands of games can step in lockstep under jit:
+
+- The reference keeps the board in the mover's frame, always writes the new
+  stone as -1, and transposes + color-swaps the board after every step
+  (``HexSingleGame.py:100,259-271``).  Equivalently: the world frame is seat
+  0's frame; seat 1's moves land at transposed coordinates and seat 1's
+  stones are +1 in the world frame.  We store world-frame state and apply the
+  mover-frame transform only at the observation/action boundary, which is
+  provably the same trajectory (the golden-model parity tests assert it).
+- Rewards are the reference's 2-vector: mover +1 / opponent -1 on a win, else
+  zeros — including the quirk that an invalid move terminates the episode
+  with reward [0, 0] (the -100 at ``HexSingleGame.py:242`` is dead code,
+  overwritten at ``:245-253``).
+- Win detection: reach-set propagation (see ``ops/connectivity.py``) instead
+  of region-label merging; the win test fires only for the *mover*, exactly
+  like ``fast_move`` (``HexSingleGame.py:109-116``) — a pre-existing opponent
+  connection on a sampled board is only discovered when that opponent moves.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hex_gym_env_tpu.core.state import HexState, Winner
+from hex_gym_env_tpu.core.topology import HexTopology
+from hex_gym_env_tpu.ops import connectivity
+
+
+def initial_state(topo: HexTopology, batch: int) -> HexState:
+    """Fresh empty-board games, seat 0 to move (``HexSingleGame.py:208-231``)."""
+    L = topo.lanes
+    return HexState(
+        stones=jnp.zeros((batch, 2, L), dtype=jnp.bool_),
+        reach=jnp.zeros((batch, 2, 2, L), dtype=jnp.bool_),
+        to_move=jnp.zeros((batch,), dtype=jnp.int32),
+        done=jnp.zeros((batch,), dtype=jnp.bool_),
+        winner=jnp.full((batch,), Winner.ONGOING, dtype=jnp.int32),
+        empty=jnp.full((batch,), topo.num_cells, dtype=jnp.int32),
+        move_count=jnp.zeros((batch,), dtype=jnp.int32),
+    )
+
+
+def state_from_boards(topo: HexTopology, boards: jnp.ndarray) -> HexState:
+    """Build state from world-frame boards (-1 seat0 / +1 seat1 / 0 empty).
+
+    The connectivity replay the reference does stone-by-stone at construction
+    (``HexSingleGame.py:57-65``) collapses into one batched fixpoint.
+    ``boards`` is (B, N, N) integer; seat 0 is to move (the reference's
+    ``reset`` always restarts with BLACK, ``HexSingleGame.py:209``).
+    """
+    b = boards.reshape(boards.shape[0], topo.num_cells).astype(jnp.int8)
+    pad = topo.lanes - topo.num_cells
+    b = jnp.pad(b, ((0, 0), (0, pad)))
+    stones = jnp.stack([b == -1, b == 1], axis=1)
+    reach = connectivity.full_reach(stones, topo)
+    batch = boards.shape[0]
+    empty = topo.num_cells - jnp.sum(
+        stones.any(axis=1)[:, : topo.num_cells], axis=-1
+    ).astype(jnp.int32)
+    return HexState(
+        stones=stones,
+        reach=reach,
+        to_move=jnp.zeros((batch,), dtype=jnp.int32),
+        done=jnp.zeros((batch,), dtype=jnp.bool_),
+        winner=jnp.full((batch,), Winner.ONGOING, dtype=jnp.int32),
+        empty=empty,
+        move_count=jnp.zeros((batch,), dtype=jnp.int32),
+    )
+
+
+def world_boards(topo: HexTopology, state: HexState) -> jnp.ndarray:
+    """(B, N, N) int8 world-frame boards: -1 seat0, +1 seat1, 0 empty."""
+    vals = state.stones[:, 1].astype(jnp.int8) - state.stones[:, 0].astype(jnp.int8)
+    return vals[:, : topo.num_cells].reshape(-1, topo.n, topo.n)
+
+
+def observe(topo: HexTopology, state: HexState) -> jnp.ndarray:
+    """(B, N, N) int8 mover-frame observations.
+
+    The mover always sees itself as -1 connecting top row to bottom row —
+    the reference's invariant maintained by ``invert_board``
+    (``HexSingleGame.py:265-271``): for seat 1 the world board is transposed
+    and color-swapped.
+    """
+    grid = world_boards(topo, state)
+    inverted = -jnp.swapaxes(grid, -1, -2)
+    return jnp.where((state.to_move == 0)[:, None, None], grid, inverted)
+
+
+def legal_mask(topo: HexTopology, state: HexState) -> jnp.ndarray:
+    """(B, N*N) bool mover-frame legal-action masks (empty cells).
+
+    Matches ``HexEnv.legal_actions`` (``HexSingleGame.py:205-206``): the mask
+    indexes the observation the mover sees, so for seat 1 it is the transpose
+    of the world-frame emptiness grid.
+    """
+    empty = ~(state.stones[:, 0] | state.stones[:, 1])
+    grid = empty[:, : topo.num_cells].reshape(-1, topo.n, topo.n)
+    flipped = jnp.swapaxes(grid, -1, -2)
+    out = jnp.where((state.to_move == 0)[:, None, None], grid, flipped)
+    return out.reshape(-1, topo.num_cells)
+
+
+def step(topo: HexTopology, state: HexState, actions: jnp.ndarray):
+    """Apply one mover-frame action per game.
+
+    Args:
+      topo: board topology.
+      state: batched state.
+      actions: (B,) int32 flat actions in the *mover frame* (row-major index
+        into the observation grid, ``HexSingleGame.py:124-130``).
+
+    Returns:
+      (new_state, rewards) where rewards is (B, 2) float32 indexed by seat —
+      the reference's 2-vector reward (``HexSingleGame.py:245-253``).
+      Stepping an already-done game is a frozen no-op with zero reward (the
+      caller is responsible for auto-reset; the reference would raise/garble
+      instead, so this is strictly safer and unobservable in valid use).
+    """
+    n, L = topo.n, topo.lanes
+    s = state.to_move  # (B,)
+    mover_is_0 = s == 0
+
+    ym, xm = actions // n, actions % n
+    yw = jnp.where(mover_is_0, ym, xm)
+    xw = jnp.where(mover_is_0, xm, ym)
+    c = yw * n + xw  # world-frame flat cell
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    onehot = lane == c[:, None]  # (B, L)
+
+    occupied = state.stones[:, 0] | state.stones[:, 1]
+    valid = jnp.any(onehot & ~occupied, axis=-1)
+    invalid_now = ~valid & ~state.done
+    act = valid & ~state.done  # games where a stone is actually placed
+
+    seat_oh = jnp.arange(2)[None, :] == s[:, None]  # (B, 2)
+    add = onehot[:, None, :] & seat_oh[:, :, None] & act[:, None, None]
+    stones = state.stones | add
+    stones_s = jnp.where(mover_is_0[:, None], stones[:, 0], stones[:, 1])  # (B, L)
+
+    # Update only the mover's two reach planes: seed any mover stones on the
+    # mover's own edges, then propagate to fixpoint.  For games where no
+    # stone was placed this is the identity (reach is already a fixpoint
+    # containing the edge-touching stones), but we mask anyway for safety.
+    edges = jnp.asarray(topo.edge_masks)  # (2, 2, L)
+    edge_s = jnp.where(mover_is_0[:, None, None], edges[0], edges[1])  # (B, 2, L)
+    r_prev = jnp.where(mover_is_0[:, None, None], state.reach[:, 0], state.reach[:, 1])
+    seed = r_prev | (edge_s & stones_s[:, None, :])
+    r_new = connectivity.propagate(seed, stones_s[:, None, :], topo)
+    r_new = jnp.where(act[:, None, None], r_new, r_prev)
+
+    win = connectivity.wins(r_new) & act
+    empty = state.empty - act.astype(jnp.int32)
+    draw = act & ~win & (empty <= 0)
+
+    done = state.done | win | draw | invalid_now
+    winner = jnp.where(
+        win,
+        s,
+        jnp.where(
+            draw,
+            jnp.int32(Winner.DRAW),
+            jnp.where(invalid_now, jnp.int32(Winner.INVALID), state.winner),
+        ),
+    )
+
+    # Mover +1 / opponent -1 on a win; zeros otherwise (incl. draw/invalid).
+    r_scalar = win.astype(jnp.float32)
+    rewards = jnp.where(seat_oh, r_scalar[:, None], -r_scalar[:, None])
+
+    reach = jnp.where(
+        seat_oh[:, :, None, None], r_new[:, None, :, :], state.reach
+    )
+    # The reference flips the mover and inverts the board even on the
+    # terminating step (``HexSingleGame.py:259-260``); only games that were
+    # already done before this call stay frozen.
+    to_move = jnp.where(state.done, s, 1 - s)
+
+    new_state = HexState(
+        stones=stones,
+        reach=reach,
+        to_move=to_move,
+        done=done,
+        winner=winner,
+        empty=empty,
+        move_count=state.move_count + act.astype(jnp.int32),
+    )
+    return new_state, rewards
+
+
+def reset_where(
+    topo: HexTopology,
+    state: HexState,
+    mask: jnp.ndarray,
+    fresh: Optional[HexState] = None,
+) -> HexState:
+    """Replace games selected by ``mask`` with fresh ones (auto-reset).
+
+    ``fresh`` defaults to empty boards; pass a sampled-board state (see
+    ``core/random_board.py``) to mirror the reference's ``sample_board``
+    mode.  Used inside rollout scans so unequal episode lengths never leave
+    the device.
+    """
+    if fresh is None:
+        fresh = initial_state(topo, state.batch_size)
+
+    def pick(a, b):
+        m = mask.reshape((mask.shape[0],) + (1,) * (a.ndim - 1))
+        return jnp.where(m, b, a)
+
+    return jax.tree.map(pick, state, fresh)
