@@ -109,7 +109,12 @@ def legal_mask(topo: HexTopology, state: HexState) -> jnp.ndarray:
     return out.reshape(-1, topo.num_cells)
 
 
-def step(topo: HexTopology, state: HexState, actions: jnp.ndarray):
+def step(
+    topo: HexTopology,
+    state: HexState,
+    actions: jnp.ndarray,
+    active: Optional[jnp.ndarray] = None,
+):
     """Apply one mover-frame action per game.
 
     Args:
@@ -117,6 +122,9 @@ def step(topo: HexTopology, state: HexState, actions: jnp.ndarray):
       state: batched state.
       actions: (B,) int32 flat actions in the *mover frame* (row-major index
         into the observation grid, ``HexSingleGame.py:124-130``).
+      active: optional (B,) bool — games where the step applies; inactive
+        games are untouched with zero reward (used by rollout scans to move
+        only a subset, e.g. the opponent's first move after an auto-reset).
 
     Returns:
       (new_state, rewards) where rewards is (B, 2) float32 indexed by seat —
@@ -128,6 +136,8 @@ def step(topo: HexTopology, state: HexState, actions: jnp.ndarray):
     n, L = topo.n, topo.lanes
     s = state.to_move  # (B,)
     mover_is_0 = s == 0
+    if active is None:
+        active = jnp.ones_like(state.done)
 
     ym, xm = actions // n, actions % n
     yw = jnp.where(mover_is_0, ym, xm)
@@ -139,8 +149,8 @@ def step(topo: HexTopology, state: HexState, actions: jnp.ndarray):
 
     occupied = state.stones[:, 0] | state.stones[:, 1]
     valid = jnp.any(onehot & ~occupied, axis=-1)
-    invalid_now = ~valid & ~state.done
-    act = valid & ~state.done  # games where a stone is actually placed
+    invalid_now = ~valid & ~state.done & active
+    act = valid & ~state.done & active  # games where a stone is actually placed
 
     seat_oh = jnp.arange(2)[None, :] == s[:, None]  # (B, 2)
     add = onehot[:, None, :] & seat_oh[:, :, None] & act[:, None, None]
@@ -182,8 +192,8 @@ def step(topo: HexTopology, state: HexState, actions: jnp.ndarray):
     )
     # The reference flips the mover and inverts the board even on the
     # terminating step (``HexSingleGame.py:259-260``); only games that were
-    # already done before this call stay frozen.
-    to_move = jnp.where(state.done, s, 1 - s)
+    # already done before this call (or not active) stay frozen.
+    to_move = jnp.where(state.done | ~active, s, 1 - s)
 
     new_state = HexState(
         stones=stones,

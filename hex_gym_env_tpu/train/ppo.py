@@ -1,0 +1,108 @@
+"""On-device maskable PPO learner.
+
+Faithful to SB3 PPO semantics (the reference trains with stock
+``MaskablePPO``, hyperparameters decoded in BASELINE.md): clipped surrogate
+objective over the masked categorical, per-minibatch advantage
+normalization, unclipped value MSE (``clip_range_vf=None`` default), entropy
+bonus (coef 0 by default), Adam(eps=1e-5) with global-norm grad clipping —
+but the whole epochs x minibatches sweep is one jitted scan instead of a
+Python dataloader loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hex_gym_env_tpu.ops import masked
+from hex_gym_env_tpu.utils.config import PPOConfig
+
+
+class PPOBatch(NamedTuple):
+    """Flattened rollout data, leading axis = T*B."""
+
+    obs: jnp.ndarray  # (n, N, N) int8
+    legal: jnp.ndarray  # (n, A) bool
+    action: jnp.ndarray  # (n,) int32
+    log_prob_old: jnp.ndarray  # (n,)
+    value_old: jnp.ndarray  # (n,)
+    advantage: jnp.ndarray  # (n,)
+    ret: jnp.ndarray  # (n,)
+
+
+class PPOStats(NamedTuple):
+    policy_loss: jnp.ndarray
+    value_loss: jnp.ndarray
+    entropy: jnp.ndarray
+    approx_kl: jnp.ndarray
+    clip_frac: jnp.ndarray
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.learning_rate, eps=cfg.adam_eps),
+    )
+
+
+def make_update_fn(model, cfg: PPOConfig, optimizer: optax.GradientTransformation):
+    """Build ``update(params, opt_state, batch, key) -> (params', opt_state',
+    stats)`` running ``n_epochs`` shuffled sweeps of minibatch SGD."""
+
+    def loss_fn(params, mb: PPOBatch):
+        logits, values = model.apply({"params": params}, mb.obs.astype(jnp.float32))
+        log_prob = masked.log_prob(logits, mb.legal, mb.action)
+        entropy = masked.entropy(logits, mb.legal)
+
+        adv = mb.advantage
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)  # SB3: per-minibatch
+
+        ratio = jnp.exp(log_prob - mb.log_prob_old)
+        unclipped = adv * ratio
+        clipped = adv * jnp.clip(ratio, 1.0 - cfg.clip_range, 1.0 + cfg.clip_range)
+        policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+
+        value_loss = jnp.mean((mb.ret - values) ** 2)
+        entropy_loss = -jnp.mean(entropy)
+
+        loss = policy_loss + cfg.ent_coef * entropy_loss + cfg.vf_coef * value_loss
+
+        log_ratio = log_prob - mb.log_prob_old
+        approx_kl = jnp.mean(jnp.exp(log_ratio) - 1.0 - log_ratio)
+        clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_range).astype(jnp.float32))
+        return loss, PPOStats(policy_loss, value_loss, -entropy_loss, approx_kl, clip_frac)
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def update(params: Any, opt_state, batch: PPOBatch, key: jax.Array):
+        n = batch.action.shape[0]
+        n_minibatches = n // cfg.minibatch_size
+
+        def epoch_body(carry, k):
+            params, opt_state = carry
+            perm = jax.random.permutation(k, n)
+            mb_indices = perm[: n_minibatches * cfg.minibatch_size].reshape(
+                n_minibatches, cfg.minibatch_size
+            )
+
+            def mb_body(carry, idx):
+                params, opt_state = carry
+                mb = jax.tree.map(lambda x: x[idx], batch)
+                grads, stats = grad_fn(params, mb)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), stats
+
+            (params, opt_state), stats = jax.lax.scan(mb_body, (params, opt_state), mb_indices)
+            return (params, opt_state), stats
+
+        (params, opt_state), stats = jax.lax.scan(
+            epoch_body, (params, opt_state), jax.random.split(key, cfg.n_epochs)
+        )
+        mean_stats = jax.tree.map(jnp.mean, stats)
+        return params, opt_state, mean_stats
+
+    return update

@@ -1,0 +1,187 @@
+"""Fused on-device selfplay rollout.
+
+Replaces the reference's per-step Python round trip — SB3 ``collect_rollouts``
+calling ``SelfPlayEnv.step`` which plays the agent move then the opponent's
+reply through ``continue_game`` (``minihex/SelfplayWrapper.py:146-199``) —
+with a single ``lax.scan`` whose body does, for every env in lockstep:
+
+  1. agent forward (current params) -> masked sample -> env step;
+  2. opponent reply where the game continues (``continue_game``);
+  3. auto-reset finished games: fresh board, per-episode seat draw, 80/20
+     best/pool opponent draw (``setup_opponents``), and the opponent's first
+     move when the agent sits second (``SelfplayWrapper.py:79-81``).
+
+One scan iteration == one agent transition for every env, exactly the data
+SB3 would collect, but thousands of games at a time with zero host syncs.
+
+Opponent inference strategy: instead of gathering per-env parameter trees
+out of the snapshot bank (an irregular, memory-amplifying gather), every
+bank member runs a dense forward over the whole batch — (P, B, A) logits —
+and each env selects its row.  Dense batched matmuls are what the MXU is
+for; at reference scales (pool <= 256, params ~12.5k) this is microseconds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from hex_gym_env_tpu.core import env as hex_env
+from hex_gym_env_tpu.core import random_board
+from hex_gym_env_tpu.core.state import HexState
+from hex_gym_env_tpu.core.topology import HexTopology
+from hex_gym_env_tpu.ops import masked
+from hex_gym_env_tpu.train.bank import OpponentBank, sample_opponents
+from hex_gym_env_tpu.utils.config import SelfplayConfig
+
+
+class Transition(NamedTuple):
+    """One agent transition per env (stacked to (T, ...) by the scan)."""
+
+    obs: jnp.ndarray  # (B, N, N) int8 — mover-frame board the agent saw
+    legal: jnp.ndarray  # (B, A) bool
+    action: jnp.ndarray  # (B,) int32
+    log_prob: jnp.ndarray  # (B,) float32
+    value: jnp.ndarray  # (B,) float32
+    reward: jnp.ndarray  # (B,) float32 — reward[agent_seat] incl. opponent reply
+    done: jnp.ndarray  # (B,) bool — episode ended within this transition
+
+
+@struct.dataclass
+class RolloutCarry:
+    env: HexState
+    agent_seat: jnp.ndarray  # (B,) int32
+    use_best: jnp.ndarray  # (B,) bool — opponent is the designated best
+    opp_idx: jnp.ndarray  # (B,) int32 — pool slot otherwise
+
+
+class SelfplayRunner:
+    """Factory of jit-friendly rollout closures for one config."""
+
+    def __init__(self, topo: HexTopology, model, cfg: SelfplayConfig):
+        self.topo = topo
+        self.model = model
+        self.cfg = cfg
+
+    # -- helpers -----------------------------------------------------------
+
+    def fresh_envs(self, key: jax.Array) -> HexState:
+        if self.cfg.sample_board:
+            boards = random_board.sample_boards(key, self.topo, self.cfg.n_envs)
+            return hex_env.state_from_boards(self.topo, boards)
+        return hex_env.initial_state(self.topo, self.cfg.n_envs)
+
+    def policy_logits_value(self, params: Any, state: HexState):
+        obs = hex_env.observe(self.topo, state)
+        legal = hex_env.legal_mask(self.topo, state)
+        logits, value = self.model.apply({"params": params}, obs.astype(jnp.float32))
+        return obs, legal, logits, value
+
+    def opponent_logits(
+        self, bank: OpponentBank, use_best: jnp.ndarray, opp_idx: jnp.ndarray,
+        state: HexState,
+    ):
+        obs_f = hex_env.observe(self.topo, state).astype(jnp.float32)
+        legal = hex_env.legal_mask(self.topo, state)
+        per_member = jax.vmap(
+            lambda p: self.model.apply({"params": p}, obs_f)[0]
+        )(bank.params)  # (P, B, A)
+        chosen = jnp.take_along_axis(
+            per_member, opp_idx[None, :, None], axis=0
+        )[0]  # (B, A)
+        best = self.model.apply({"params": bank.best_params}, obs_f)[0]
+        return jnp.where(use_best[:, None], best, chosen), legal
+
+    def opponent_move(
+        self, bank: OpponentBank, use_best, opp_idx, state: HexState,
+        key: jax.Array, active: jnp.ndarray,
+    ):
+        """Opponent acts stochastically with the action mask, like
+        ``OpponentPolicy.choose_action`` (``SelfplayWrapper.py:30-32``)."""
+        logits, legal = self.opponent_logits(bank, use_best, opp_idx, state)
+        action = masked.sample(key, logits, legal)
+        return hex_env.step(self.topo, state, action, active=active)
+
+    def reset_finished(self, carry: RolloutCarry, bank: OpponentBank, key: jax.Array):
+        """Auto-reset done games + seat/opponent redraw + opponent first move."""
+        cfg = self.cfg
+        m = carry.env.done
+        k_fresh, k_seat, k_opp, k_move = jax.random.split(key, 4)
+        st = hex_env.reset_where(self.topo, carry.env, m, self.fresh_envs(k_fresh))
+
+        seat = carry.agent_seat
+        if cfg.seat_mode == "per_episode":
+            redraw = jax.random.bernoulli(k_seat, 0.5, m.shape).astype(jnp.int32)
+            seat = jnp.where(m, redraw, seat)
+        # "fixed_random": the reference's first-reset-only seat draw
+        # (SelfplayWrapper.py:72-73); assigned once in init_carry.
+
+        nb, ni = sample_opponents(k_opp, bank.size, cfg.n_envs, cfg.best_prob)
+        use_best = jnp.where(m, nb, carry.use_best)
+        opp_idx = jnp.where(m, ni, carry.opp_idx)
+
+        # Where the opponent holds seat 0 it opens the fresh game
+        # (SelfplayWrapper.py:79-81; the returned reward is discarded there too).
+        st, _ = self.opponent_move(
+            bank, use_best, opp_idx, st, k_move, active=m & (seat == 1)
+        )
+        return RolloutCarry(env=st, agent_seat=seat, use_best=use_best, opp_idx=opp_idx)
+
+    # -- entry points ------------------------------------------------------
+
+    def init_carry(self, bank: OpponentBank, key: jax.Array) -> RolloutCarry:
+        cfg = self.cfg
+        k_fresh, k_seat, k_opp, k_move = jax.random.split(key, 4)
+        st = self.fresh_envs(k_fresh)
+        seat = jax.random.bernoulli(k_seat, 0.5, (cfg.n_envs,)).astype(jnp.int32)
+        use_best, opp_idx = sample_opponents(k_opp, bank.size, cfg.n_envs, cfg.best_prob)
+        st, _ = self.opponent_move(bank, use_best, opp_idx, st, k_move, active=seat == 1)
+        return RolloutCarry(env=st, agent_seat=seat, use_best=use_best, opp_idx=opp_idx)
+
+    def run(
+        self, params: Any, bank: OpponentBank, carry: RolloutCarry,
+        key: jax.Array, n_steps: int,
+    ):
+        """Collect ``n_steps`` agent transitions per env.
+
+        Returns (carry', transitions (T, ...), last_values (B,)).
+        """
+
+        def body(c: RolloutCarry, k):
+            k_agent, k_opp, k_reset = jax.random.split(k, 3)
+
+            obs, legal, logits, value = self.policy_logits_value(params, c.env)
+            action, log_prob = masked.sample_with_info(k_agent, logits, legal)
+            st1, rew1 = hex_env.step(self.topo, c.env, action)
+            seat_col = c.agent_seat[:, None]
+            r_agent = jnp.take_along_axis(rew1, seat_col, axis=1)[:, 0]
+
+            st2, rew2 = self.opponent_move(
+                bank, c.use_best, c.opp_idx, st1, k_opp, active=~st1.done
+            )
+            r_agent = r_agent + jnp.take_along_axis(rew2, seat_col, axis=1)[:, 0]
+            done = st2.done
+
+            c2 = self.reset_finished(
+                RolloutCarry(st2, c.agent_seat, c.use_best, c.opp_idx), bank, k_reset
+            )
+            t = Transition(
+                obs=obs.astype(jnp.int8),
+                legal=legal,
+                action=action,
+                log_prob=log_prob,
+                value=value,
+                reward=r_agent,
+                done=done,
+            )
+            return c2, t
+
+        carry, transitions = jax.lax.scan(
+            body, carry, jax.random.split(key, n_steps)
+        )
+        _, _, _, last_values = self.policy_logits_value(params, carry.env)
+        return carry, transitions, last_values

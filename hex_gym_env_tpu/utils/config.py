@@ -1,0 +1,74 @@
+"""Typed configuration for training runs.
+
+Replaces the reference's per-experiment hardcoded constants
+(``scripts/experiments/*.py``, e.g. ``7x7_MLP-default_lr-0.0003.py:28-29``)
+and its vestigial ``config.ini`` with one frozen dataclass; the preset grid
+lives in ``hex_gym_env_tpu/experiments/``.
+
+PPO defaults are the SB3 values decoded from the shipped checkpoint
+``models/6x6_buffer_64_10.zip`` (see BASELINE.md): n_steps 2048, minibatch
+64, 10 epochs, gamma 0.99, GAE lambda 0.95, clip 0.2, ent_coef 0,
+vf_coef 0.5, grad-clip 0.5, lr 3e-4, Adam eps 1e-5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    learning_rate: float = 3e-4
+    n_steps: int = 2048  # agent transitions per env per rollout
+    minibatch_size: int = 64
+    n_epochs: int = 10
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    adam_eps: float = 1e-5
+
+    def validate(self, n_envs: int) -> None:
+        total = self.n_steps * n_envs
+        if total % self.minibatch_size:
+            raise ValueError(
+                f"rollout size {total} (= n_steps {self.n_steps} x n_envs "
+                f"{n_envs}) must be divisible by minibatch_size "
+                f"{self.minibatch_size}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfplayConfig:
+    """Selfplay environment + opponent-pool protocol knobs.
+
+    ``seat_mode`` quirk note: the reference randomizes the agent's seat only
+    on the *first* reset — ``SelfplayWrapper.py:72-73`` guards on
+    ``agent_player_num == None`` and then assigns the attribute, so the seat
+    stays fixed for the rest of the run.  ``per_episode`` (default here) is
+    the symmetric generalization; ``fixed_random`` reproduces the reference.
+    """
+
+    board_size: int = 7
+    n_envs: int = 64
+    buffer_size: int = 20  # opponent pool size (reference default, SelfplayWrapper.py:39)
+    best_prob: float = 0.8  # P(opponent = best) per episode (SelfplayWrapper.py:97-104)
+    sample_board: bool = False
+    seat_mode: str = "per_episode"  # "per_episode" | "fixed_random"
+    policy: str = "MLP-default"
+    eval_freq: int = 1000  # agent transitions between evals (per reference script)
+    n_eval_episodes: int = 20  # = buffer_size in every reference experiment
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
+    selfplay: SelfplayConfig = dataclasses.field(default_factory=SelfplayConfig)
+    total_timesteps: int = 1_000_000
+    model_name: str = "hex_tpu"
+    checkpoint_every: int = 1_000_000  # agent transitions (EvaluationCallback.py:53-55)
+    log_dir: str = "log"
+    model_dir: str = "models"

@@ -1,13 +1,19 @@
 """Test harness: run everything on an 8-device virtual CPU mesh.
 
-Must set the XLA flags before jax is imported anywhere.
+The image's site hook imports the ``axon`` TPU-tunnel plugin, which
+overrides ``jax_platforms`` to "axon,cpu" regardless of the JAX_PLATFORMS
+environment variable — so tests must force CPU via ``jax.config.update``
+(before any backend is initialized), not via the env var alone.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may set e.g. axon/tpu
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
