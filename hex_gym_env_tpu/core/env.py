@@ -16,10 +16,11 @@ thousands of games can step in lockstep under jit:
   zeros — including the quirk that an invalid move terminates the episode
   with reward [0, 0] (the -100 at ``HexSingleGame.py:242`` is dead code,
   overwritten at ``:245-253``).
-- Win detection: reach-set propagation (see ``ops/connectivity.py``) instead
-  of region-label merging; the win test fires only for the *mover*, exactly
-  like ``fast_move`` (``HexSingleGame.py:109-116``) — a pre-existing opponent
-  connection on a sampled board is only discovered when that opponent moves.
+- Win detection: batched flat-label union (see ``ops/labels.py``) — the
+  reference's region-label merge vectorized over lanes; the win test fires
+  only for the *mover*, exactly like ``fast_move``
+  (``HexSingleGame.py:109-116``) — a pre-existing opponent connection on a
+  sampled board is only discovered when that opponent moves.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ import jax.numpy as jnp
 
 from hex_gym_env_tpu.core.state import HexState, Winner
 from hex_gym_env_tpu.core.topology import HexTopology
-from hex_gym_env_tpu.ops import connectivity
+from hex_gym_env_tpu.ops import labels as labels_ops
 
 
 def initial_state(topo: HexTopology, batch: int) -> HexState:
@@ -39,7 +40,7 @@ def initial_state(topo: HexTopology, batch: int) -> HexState:
     L = topo.lanes
     return HexState(
         stones=jnp.zeros((batch, 2, L), dtype=jnp.bool_),
-        reach=jnp.zeros((batch, 2, 2, L), dtype=jnp.bool_),
+        labels=labels_ops.initial_labels(topo, batch),
         to_move=jnp.zeros((batch,), dtype=jnp.int32),
         done=jnp.zeros((batch,), dtype=jnp.bool_),
         winner=jnp.full((batch,), Winner.ONGOING, dtype=jnp.int32),
@@ -60,14 +61,14 @@ def state_from_boards(topo: HexTopology, boards: jnp.ndarray) -> HexState:
     pad = topo.lanes - topo.num_cells
     b = jnp.pad(b, ((0, 0), (0, pad)))
     stones = jnp.stack([b == -1, b == 1], axis=1)
-    reach = connectivity.full_reach(stones, topo)
+    labels = labels_ops.labels_from_stones(topo, stones)
     batch = boards.shape[0]
     empty = topo.num_cells - jnp.sum(
         stones.any(axis=1)[:, : topo.num_cells], axis=-1
     ).astype(jnp.int32)
     return HexState(
         stones=stones,
-        reach=reach,
+        labels=labels,
         to_move=jnp.zeros((batch,), dtype=jnp.int32),
         done=jnp.zeros((batch,), dtype=jnp.bool_),
         winner=jnp.full((batch,), Winner.ONGOING, dtype=jnp.int32),
@@ -157,18 +158,11 @@ def step(
     stones = state.stones | add
     stones_s = jnp.where(mover_is_0[:, None], stones[:, 0], stones[:, 1])  # (B, L)
 
-    # Update only the mover's two reach planes: seed any mover stones on the
-    # mover's own edges, then propagate to fixpoint.  For games where no
-    # stone was placed this is the identity (reach is already a fixpoint
-    # containing the edge-touching stones), but we mask anyway for safety.
-    edges = jnp.asarray(topo.edge_masks)  # (2, 2, L)
-    edge_s = jnp.where(mover_is_0[:, None, None], edges[0], edges[1])  # (B, 2, L)
-    r_prev = jnp.where(mover_is_0[:, None, None], state.reach[:, 0], state.reach[:, 1])
-    seed = r_prev | (edge_s & stones_s[:, None, :])
-    r_new = connectivity.propagate(seed, stones_s[:, None, :], topo)
-    r_new = jnp.where(act[:, None, None], r_new, r_prev)
+    # Merge the new stone's group and read the win straight off the merge
+    # slots (ops/labels.py) — one gather + one fused relabel pass, no
+    # data-dependent control flow.
+    new_labels, win = labels_ops.place_stone(topo, state.labels, stones_s, s, c, act)
 
-    win = connectivity.wins(r_new) & act
     empty = state.empty - act.astype(jnp.int32)
     draw = act & ~win & (empty <= 0)
 
@@ -187,9 +181,6 @@ def step(
     r_scalar = win.astype(jnp.float32)
     rewards = jnp.where(seat_oh, r_scalar[:, None], -r_scalar[:, None])
 
-    reach = jnp.where(
-        seat_oh[:, :, None, None], r_new[:, None, :, :], state.reach
-    )
     # The reference flips the mover and inverts the board even on the
     # terminating step (``HexSingleGame.py:259-260``); only games that were
     # already done before this call (or not active) stay frozen.
@@ -197,7 +188,7 @@ def step(
 
     new_state = HexState(
         stones=stones,
-        reach=reach,
+        labels=new_labels,
         to_move=to_move,
         done=done,
         winner=winner,

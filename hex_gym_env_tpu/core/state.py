@@ -38,12 +38,11 @@ class HexState:
     Attributes:
       stones: (B, 2, L) bool — stones[b, s, c]: seat ``s`` occupies cell ``c``
         (world-frame flat index, lane-padded to L).
-      reach: (B, 2, 2, L) bool — reach[b, s, e, c]: cell c holds a seat-s
-        stone whose group is connected to seat-s's edge ``e``.  Seat s has won
-        iff reach[b, s, 0] & reach[b, s, 1] is non-empty.  This replaces the
-        reference's integer region-label planes (``HexSingleGame.py:42-55``):
-        label "1" == connected-to-edge-0, label "2" == connected-to-edge-1,
-        and the win test ``regions[-1,-1] == 1`` == the two sets intersect.
+      labels: (B, L) int32 — flat connectivity labels over cells + 4 virtual
+        edge nodes (see ``ops/labels.py``); equal labels == same connected
+        group.  The batched equivalent of the reference's integer
+        region-label planes (``HexSingleGame.py:42-55``), with the win test
+        "both edge virtuals share a group" replacing ``regions[-1,-1]==1``.
       to_move: (B,) int32 — seat to move (0 or 1).  The observation is always
         rendered in the mover's frame, reproducing the reference's
         invert-after-every-step convention (``HexSingleGame.py:259-271``).
@@ -55,7 +54,7 @@ class HexState:
     """
 
     stones: jnp.ndarray
-    reach: jnp.ndarray
+    labels: jnp.ndarray
     to_move: jnp.ndarray
     done: jnp.ndarray
     winner: jnp.ndarray

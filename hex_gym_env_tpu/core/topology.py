@@ -68,7 +68,9 @@ class HexTopology:
             raise ValueError(f"board size must be >= 2, got {n}")
         self.n = n
         self.num_cells = n * n
-        self.lanes = _round_up(self.num_cells, LANE)
+        # lane-padded flat length; the last 4 slots double as the per-seat
+        # edge "virtual nodes" of the flat-label connectivity structure
+        self.lanes = _round_up(self.num_cells + 4, LANE)
 
         idx = np.arange(self.lanes)
         ys = idx // n
@@ -98,6 +100,29 @@ class HexTopology:
         edge[1, 0] = real & (xs == 0)
         edge[1, 1] = real & (xs == n - 1)
         self.edge_masks = edge
+
+        # --- flat-label union tables -------------------------------------
+        # Virtual edge nodes: ids N^2 + (2*seat + end).  A stone placed at
+        # cell c can merge with up to 8 "slots": the 6 hex neighbors plus the
+        # mover's two edge virtuals (valid only on the matching edge row/col).
+        self.virtual_ids = np.array(
+            [[self.num_cells + 0, self.num_cells + 1],
+             [self.num_cells + 2, self.num_cells + 3]],
+            dtype=np.int32,
+        )
+        nbr_ids = np.zeros((2, 8, self.lanes), dtype=np.int32)
+        nbr_valid = np.zeros((2, 8, self.lanes), dtype=bool)
+        for seat in range(2):
+            for k, (d, mask) in enumerate(zip(self.neighbor_shifts, self.neighbor_masks)):
+                nbr_ids[seat, k] = np.clip(idx + d, 0, self.lanes - 1)
+                nbr_valid[seat, k] = mask
+            for end in range(2):
+                nbr_ids[seat, 6 + end] = self.virtual_ids[seat, end]
+                nbr_valid[seat, 6 + end] = edge[seat, end]
+        self.uf_nbr_ids = nbr_ids
+        self.uf_nbr_valid = nbr_valid
+        # slots 6,7 target virtual nodes (always "occupied")
+        self.uf_slot_is_virtual = np.array([False] * 6 + [True] * 2)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"HexTopology(n={self.n}, lanes={self.lanes})"

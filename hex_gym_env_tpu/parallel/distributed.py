@@ -1,0 +1,150 @@
+"""Data-parallel selfplay PPO over a device mesh (SPMD via shard_map).
+
+Each device owns ``n_envs / D`` environments: the rollout scan, GAE, and
+minibatch sweeps run on purely local data; the only cross-device traffic is
+one ``pmean`` of gradients per minibatch (riding ICI) plus scalar metric
+reductions.  Parameters, optimizer state, and the opponent bank stay
+bitwise-replicated: every replica applies the identical mesh-averaged
+update, so no parameter broadcast is ever needed.
+
+Deviation from strict single-stream SB3 semantics (documented): minibatch
+shuffling is per-device rather than global, the standard distributed-PPO
+trade (a global shuffle would cost an all-to-all per minibatch for zero
+statistical benefit at these scales).
+
+Multi-host use: call ``jax.distributed.initialize()`` first; the mesh then
+spans all hosts' devices, ``data`` collectives ride ICI within a slice and
+DCN across slices, transparently compiled by XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hex_gym_env_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicate_tree, shard_batch_tree
+from hex_gym_env_tpu.train import gae, ppo
+from hex_gym_env_tpu.train.selfplay import SelfplayPPO, TrainMetrics, TrainState
+from hex_gym_env_tpu.utils.config import TrainConfig
+
+
+class DistributedSelfplayPPO(SelfplayPPO):
+    """SelfplayPPO whose train_step is an SPMD program over ``mesh``."""
+
+    def __init__(self, cfg: TrainConfig, mesh: Mesh):
+        n_data = mesh.shape[DATA_AXIS]
+        if cfg.selfplay.n_envs % n_data:
+            raise ValueError(
+                f"n_envs {cfg.selfplay.n_envs} must divide over data axis {n_data}"
+            )
+        # Local shard sees n_envs / D environments; validate local minibatching.
+        local_envs = cfg.selfplay.n_envs // n_data
+        if (cfg.ppo.n_steps * local_envs) % cfg.ppo.minibatch_size:
+            raise ValueError(
+                "per-device rollout size must divide minibatch_size: "
+                f"{cfg.ppo.n_steps} * {local_envs} vs {cfg.ppo.minibatch_size}"
+            )
+        super().__init__(cfg)
+        self.mesh = mesh
+        self.n_data = n_data
+        # Per-device runner: same config but local env count.
+        import dataclasses
+
+        local_sp = dataclasses.replace(cfg.selfplay, n_envs=local_envs)
+        from hex_gym_env_tpu.train.rollout import SelfplayRunner
+
+        self.local_runner = SelfplayRunner(self.topo, self.model, local_sp)
+        self.dist_update_fn = ppo.make_update_fn(
+            self.model, cfg.ppo, self.optimizer,
+            grad_reduce=lambda g: jax.lax.pmean(g, DATA_AXIS),
+        )
+        self._build_step()
+
+    # -- state placement ---------------------------------------------------
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place carry on the data axis, everything else replicated."""
+        return TrainState(
+            params=replicate_tree(state.params, self.mesh),
+            opt_state=replicate_tree(state.opt_state, self.mesh),
+            bank=replicate_tree(state.bank, self.mesh),
+            carry=shard_batch_tree(state.carry, self.mesh),
+            key=replicate_tree(state.key, self.mesh),
+            timesteps=replicate_tree(state.timesteps, self.mesh),
+        )
+
+    def init_sharded_state(self, key: jax.Array) -> TrainState:
+        return self.shard_state(self.init_state(key))
+
+    # -- SPMD train step ---------------------------------------------------
+
+    def _build_step(self):
+        cfg = self.cfg
+        runner = self.local_runner
+        update_fn = self.dist_update_fn
+
+        def local_step(params, opt_state, bank, carry, key, timesteps):
+            di = jax.lax.axis_index(DATA_AXIS)
+            key, k_roll, k_update = jax.random.split(key, 3)
+            k_roll = jax.random.fold_in(k_roll, di)  # decorrelate replicas
+            k_update = jax.random.fold_in(k_update, di)
+
+            carry, tr, last_values = runner.run(params, bank, carry, k_roll, cfg.ppo.n_steps)
+            advantages, returns = gae.compute_gae(
+                tr.reward, tr.value, tr.done, last_values,
+                cfg.ppo.gamma, cfg.ppo.gae_lambda,
+            )
+
+            def flat(x):
+                return x.reshape((-1,) + x.shape[2:])
+
+            batch = ppo.PPOBatch(
+                obs=flat(tr.obs), legal=flat(tr.legal), action=flat(tr.action),
+                log_prob_old=flat(tr.log_prob), value_old=flat(tr.value),
+                advantage=flat(advantages), ret=flat(returns),
+            )
+            params, opt_state, stats = update_fn(params, opt_state, batch, k_update)
+
+            finished = tr.done.sum()
+            reward_sum = jnp.sum(jnp.where(tr.done, tr.reward, 0.0))
+            finished = jax.lax.psum(finished, DATA_AXIS)
+            reward_sum = jax.lax.psum(reward_sum, DATA_AXIS)
+            mean_ep_reward = jnp.where(
+                finished > 0, reward_sum / finished.astype(jnp.float32), 0.0
+            )
+            stats = jax.lax.pmean(stats, DATA_AXIS)
+            timesteps = timesteps + cfg.ppo.n_steps * cfg.selfplay.n_envs
+            metrics = TrainMetrics(mean_ep_reward, finished, stats)
+            return params, opt_state, carry, key, timesteps, metrics
+
+        rep = P()
+        bat = P(DATA_AXIS)
+        sharded = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(rep, rep, rep, bat, rep, rep),
+            out_specs=(rep, rep, bat, rep, rep, rep),
+            check_vma=False,  # keys/psum mixes replicated+varying values
+        )
+
+        def step(state: TrainState):
+            params, opt_state, carry, key, timesteps, metrics = sharded(
+                state.params, state.opt_state, state.bank, state.carry,
+                state.key, state.timesteps,
+            )
+            return (
+                TrainState(
+                    params=params, opt_state=opt_state, bank=state.bank,
+                    carry=carry, key=key, timesteps=timesteps,
+                ),
+                metrics,
+            )
+
+        self._step = step
+
+    def train_step(self, state: TrainState):
+        return self._step(state)

@@ -48,9 +48,20 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
     )
 
 
-def make_update_fn(model, cfg: PPOConfig, optimizer: optax.GradientTransformation):
+def make_update_fn(
+    model,
+    cfg: PPOConfig,
+    optimizer: optax.GradientTransformation,
+    grad_reduce=None,
+):
     """Build ``update(params, opt_state, batch, key) -> (params', opt_state',
-    stats)`` running ``n_epochs`` shuffled sweeps of minibatch SGD."""
+    stats)`` running ``n_epochs`` shuffled sweeps of minibatch SGD.
+
+    ``grad_reduce`` (optional) is applied to the gradient pytree before the
+    optimizer — the data-parallel hook: inside ``shard_map`` pass
+    ``lambda g: jax.lax.pmean(g, "data")`` so every replica applies the
+    mesh-averaged gradient and parameters stay bitwise replicated.
+    """
 
     def loss_fn(params, mb: PPOBatch):
         logits, values = model.apply({"params": params}, mb.obs.astype(jnp.float32))
@@ -92,6 +103,8 @@ def make_update_fn(model, cfg: PPOConfig, optimizer: optax.GradientTransformatio
                 params, opt_state = carry
                 mb = jax.tree.map(lambda x: x[idx], batch)
                 grads, stats = grad_fn(params, mb)
+                if grad_reduce is not None:
+                    grads = grad_reduce(grads)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), stats

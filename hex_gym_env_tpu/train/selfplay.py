@@ -1,0 +1,125 @@
+"""Selfplay PPO training state and the fused train step.
+
+One ``train_step`` = one SB3 ``collect_rollouts`` + ``train`` cycle
+(``MaskablePPO.learn`` internals, driven by ``scripts/selfplay_new.py:56-62``
+in the reference), entirely on device: rollout scan, GAE, and the
+epochs x minibatches PPO sweep compile into a single XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from hex_gym_env_tpu.core.topology import HexTopology, get_topology
+from hex_gym_env_tpu.models import make_policy
+from hex_gym_env_tpu.train import gae, ppo
+from hex_gym_env_tpu.train.bank import OpponentBank, init_bank
+from hex_gym_env_tpu.train.evaluate import Evaluator
+from hex_gym_env_tpu.train.rollout import RolloutCarry, SelfplayRunner
+from hex_gym_env_tpu.utils.config import TrainConfig
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    bank: OpponentBank
+    carry: RolloutCarry
+    key: jax.Array
+    timesteps: jnp.ndarray  # () int64-ish counter of agent transitions
+
+
+class TrainMetrics(NamedTuple):
+    mean_episode_reward: jnp.ndarray  # mean agent reward over finished episodes
+    episodes_finished: jnp.ndarray
+    ppo: ppo.PPOStats
+
+
+class SelfplayPPO:
+    """Builder wiring topology, model, runner, learner, and evaluator."""
+
+    def __init__(self, cfg: TrainConfig):
+        cfg.ppo.validate(cfg.selfplay.n_envs)
+        self.cfg = cfg
+        self.topo: HexTopology = get_topology(cfg.selfplay.board_size)
+        self.model = make_policy(cfg.selfplay.policy, self.topo.num_cells)
+        self.runner = SelfplayRunner(self.topo, self.model, cfg.selfplay)
+        self.optimizer = ppo.make_optimizer(cfg.ppo)
+        self.update_fn = ppo.make_update_fn(self.model, cfg.ppo, self.optimizer)
+        self.evaluator = Evaluator(self.topo, self.model, cfg.selfplay)
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        k_model, k_carry, key = jax.random.split(key, 3)
+        n = self.topo.n
+        variables = self.model.init(k_model, jnp.zeros((1, n, n), jnp.float32))
+        params = variables["params"]
+        bank = init_bank(params, self.cfg.selfplay.buffer_size)
+        carry = self.runner.init_carry(bank, k_carry)
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            bank=bank,
+            carry=carry,
+            key=key,
+            timesteps=jnp.zeros((), jnp.int32),
+        )
+
+    # -- one fused PPO iteration ------------------------------------------
+
+    def train_step(self, state: TrainState) -> tuple[TrainState, TrainMetrics]:
+        cfg = self.cfg
+        key, k_roll, k_update = jax.random.split(state.key, 3)
+
+        carry, tr, last_values = self.runner.run(
+            state.params, state.bank, state.carry, k_roll, cfg.ppo.n_steps
+        )
+        advantages, returns = gae.compute_gae(
+            tr.reward, tr.value, tr.done, last_values,
+            cfg.ppo.gamma, cfg.ppo.gae_lambda,
+        )
+
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = ppo.PPOBatch(
+            obs=flat(tr.obs),
+            legal=flat(tr.legal),
+            action=flat(tr.action),
+            log_prob_old=flat(tr.log_prob),
+            value_old=flat(tr.value),
+            advantage=flat(advantages),
+            ret=flat(returns),
+        )
+        params, opt_state, stats = self.update_fn(
+            state.params, state.opt_state, batch, k_update
+        )
+
+        finished = tr.done.sum()
+        # episode reward == the terminal transition's reward (0 elsewhere)
+        mean_ep_reward = jnp.where(
+            finished > 0,
+            jnp.sum(jnp.where(tr.done, tr.reward, 0.0)) / finished.astype(jnp.float32),
+            0.0,
+        )
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            bank=state.bank,
+            carry=carry,
+            key=key,
+            timesteps=state.timesteps + cfg.ppo.n_steps * cfg.selfplay.n_envs,
+        )
+        return new_state, TrainMetrics(mean_ep_reward, finished, stats)
+
+    # -- eval + pool update ------------------------------------------------
+
+    def eval_step(self, state: TrainState):
+        key, k_eval = jax.random.split(state.key)
+        bank, result = self.evaluator.eval_and_update(state.params, state.bank, k_eval)
+        return state.replace(bank=bank, key=key), result

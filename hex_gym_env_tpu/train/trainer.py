@@ -1,0 +1,100 @@
+"""Host-side training orchestration.
+
+The only Python between device programs: the loop that alternates jitted
+``train_step`` / ``eval_step`` calls, fetches a handful of scalars per
+iteration for logging, and writes checkpoints.  Equivalent role to
+``model.learn(..., callback=[SelfPlayCallback(...)])`` in the reference
+(``scripts/selfplay_new.py:58-62``), with the eval cadence measured in
+agent transitions exactly like the callback's ``n_calls % eval_freq``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from hex_gym_env_tpu.train.selfplay import SelfplayPPO, TrainState
+from hex_gym_env_tpu.utils import checkpoint as ckpt_lib
+from hex_gym_env_tpu.utils.config import TrainConfig
+from hex_gym_env_tpu.utils.metrics import MetricsLogger
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, logger: Optional[MetricsLogger] = None):
+        self.cfg = cfg
+        self.algo = SelfplayPPO(cfg)
+        self.logger = logger or MetricsLogger(cfg.log_dir, cfg.model_name)
+        self.train_step = jax.jit(self.algo.train_step)
+        self.eval_step = jax.jit(self.algo.eval_step)
+        self._ckpt: Optional[ckpt_lib.CheckpointManager] = None
+
+    def _ckpt_mgr(self) -> ckpt_lib.CheckpointManager:
+        if self._ckpt is None:
+            self._ckpt = ckpt_lib.CheckpointManager(
+                os.path.join(self.cfg.model_dir, self.cfg.model_name)
+            )
+        return self._ckpt
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.selfplay.seed if seed is None else seed
+        return self.algo.init_state(jax.random.key(seed))
+
+    def resume(self) -> TrainState:
+        template = jax.eval_shape(lambda: self.init_state())
+        return self._ckpt_mgr().restore(template)
+
+    def fit(self, state: Optional[TrainState] = None) -> TrainState:
+        cfg = self.cfg
+        state = self.init_state() if state is None else state
+        per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
+        next_eval = cfg.selfplay.eval_freq
+        next_ckpt = cfg.checkpoint_every
+        t_start = time.perf_counter()
+        steps_start = int(state.timesteps)
+
+        while int(state.timesteps) < cfg.total_timesteps:
+            t0 = time.perf_counter()
+            state, metrics = self.train_step(state)
+            steps = int(state.timesteps)  # syncs; one fetch per iteration
+            dt = time.perf_counter() - t0
+
+            scalars = {
+                "rollout/ep_rew_mean": float(metrics.mean_episode_reward),
+                "rollout/episodes": float(metrics.episodes_finished),
+                "train/policy_loss": float(metrics.ppo.policy_loss),
+                "train/value_loss": float(metrics.ppo.value_loss),
+                "train/entropy": float(metrics.ppo.entropy),
+                "train/approx_kl": float(metrics.ppo.approx_kl),
+                "train/clip_frac": float(metrics.ppo.clip_frac),
+                "perf/steps_per_s": per_iter / dt,
+            }
+
+            if steps >= next_eval:
+                state, result = self.eval_step(state)
+                next_eval = steps + cfg.selfplay.eval_freq
+                scalars.update(
+                    {
+                        "eval/mean_reward": float(result.mean_reward),
+                        "eval/score": float(result.score),
+                        "eval/replaced": float(result.replaced),
+                        "eval/best_score": float(result.best_score),
+                    }
+                )
+
+            self.logger.log(steps, scalars)
+
+            if steps >= next_ckpt:
+                self._ckpt_mgr().save(steps, state)
+                next_ckpt = steps + cfg.checkpoint_every
+
+        wall = time.perf_counter() - t_start
+        total = int(state.timesteps) - steps_start
+        self.logger.log(
+            int(state.timesteps),
+            {"perf/total_steps_per_s": total / max(wall, 1e-9)},
+        )
+        return state

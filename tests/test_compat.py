@@ -1,0 +1,134 @@
+"""Compat-surface tests: Gymnasium adapters + selfplay wrapper protocol."""
+
+import numpy as np
+import pytest
+
+from hex_gym_env_tpu.compat import (
+    BaseRandomPolicy,
+    HexEnv,
+    HexEnvV0,
+    OpponentPolicy,
+    register_envs,
+    selfplay_wrapper,
+)
+
+from golden import GoldenHexEnv
+
+
+def test_hex_env_matches_golden():
+    env = HexEnv(board_size=5)
+    gold = GoldenHexEnv(5)
+    rng = np.random.default_rng(0)
+    obs, info = env.reset()
+    gobs = gold.reset()
+    np.testing.assert_array_equal(obs, gobs)
+    done = False
+    while not done:
+        legal = np.flatnonzero(env.legal_actions())
+        np.testing.assert_array_equal(env.legal_actions(), gold.legal_actions())
+        a = int(rng.choice(legal))
+        obs, reward, done, _ = env.step(a)
+        gobs, greward, gdone, gwinner = gold.step(a)
+        np.testing.assert_array_equal(obs, gobs)
+        assert reward == [float(greward[0]), float(greward[1])]
+        assert done == gdone
+    assert env.winner == gold.sim.winner
+
+
+def test_hex_env_invalid_move():
+    env = HexEnv(board_size=4)
+    env.reset()
+    env.step(5)
+    obs, reward, done, _ = env.step(5)  # same cell in the new frame: occupied
+    assert done and env.winner == 3 and reward == [0.0, 0.0]
+
+
+def test_registration():
+    register_envs()
+    import gymnasium as gym
+
+    env = gym.make("hex-v0", board_size=4, disable_env_checker=True)
+    obs, _ = env.reset()
+    assert obs.shape == (4, 4)
+    assert set(np.unique(obs)).issubset({0, 1, 2})
+
+
+def test_hex_v0_full_episode_rewards():
+    env = HexEnvV0(board_size=5, opponent_policy="random", seed=3)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        obs, _ = env.reset()
+        done, reward = False, 0.0
+        while not done:
+            legal = np.flatnonzero(env.legal_actions())
+            obs, reward, done, trunc, info = env.step(int(rng.choice(legal)))
+            assert set(np.unique(obs)).issubset({0, 1, 2})
+        assert reward in (1.0, -1.0)
+
+
+def test_hex_v0_invalid_gives_minus_100():
+    env = HexEnvV0(board_size=4, seed=0)
+    env.reset()
+    obs, r1, d1, _, _ = env.step(0)
+    assert not d1
+    # cell 0 is now occupied by the agent (world frame); replay it
+    obs, r2, d2, _, _ = env.step(0)
+    assert d2 and r2 == -100.0
+
+
+class _ScriptedModel:
+    """SB3-predict duck type that always picks the first legal action."""
+
+    def predict(self, board, deterministic=False, action_masks=None):
+        return int(np.flatnonzero(action_masks)[0]), None
+
+    def save(self, path):
+        pass
+
+
+def test_selfplay_wrapper_protocol():
+    SelfPlay = selfplay_wrapper(HexEnv)
+    env = SelfPlay(board_size=5, buffer_size=6)
+    assert len(env.get_opponent_models()) == 6
+    assert len(env.get_scores()) == 6
+
+    obs, info = env.reset()
+    assert env.agent_player_num in (0, 1)
+    seat = env.agent_player_num
+    # run one episode: the wrapper returns the scalar agent reward
+    rng = np.random.default_rng(2)
+    done = False
+    while not done:
+        legal = np.flatnonzero(env.legal_actions())
+        obs, reward, done, trunc, _ = env.step(int(rng.choice(legal)))
+    assert reward in (-1.0, 0.0, 1.0)
+    # the reference quirk: seat fixed after first reset
+    env.reset()
+    assert env.agent_player_num == seat
+
+    # pool mutation + best promotion
+    m = _ScriptedModel()
+    env.set_opponent_model(2, m, 3.5)
+    assert isinstance(env.get_opponent_models()[2], OpponentPolicy)
+    assert env.best_score == 3.5
+    # append (fixed vs reference bug: list append + score growth)
+    env.append_opponent_model(_ScriptedModel())
+    assert len(env.get_opponent_models()) == 7
+    assert len(env.get_scores()) == 7
+
+    # eval mode iterates the pool
+    env.set_eval(True)
+    seen = []
+    for _ in range(3):
+        env.reset()
+        seen.append(env.opponent_model)
+    assert seen[0] is env.get_opponent_models()[0]
+    assert seen[1] is env.get_opponent_models()[1]
+    env.set_eval(False)
+
+
+def test_selfplay_wrapper_sampled_board():
+    SelfPlay = selfplay_wrapper(HexEnv)
+    env = SelfPlay(board_size=7, buffer_size=3, sample_board=True)
+    obs, _ = env.reset()
+    assert obs.shape == (7, 7)

@@ -15,6 +15,7 @@ import pytest
 from hex_gym_env_tpu.core.topology import get_topology, NEIGHBOR_OFFSETS
 from hex_gym_env_tpu.core import env as hex_env
 from hex_gym_env_tpu.ops import connectivity
+from hex_gym_env_tpu.ops import labels as labels_ops
 
 
 def bfs_connected(board: np.ndarray, seat: int) -> bool:
@@ -48,10 +49,17 @@ def test_full_reach_matches_bfs(board_size):
     rng = np.random.default_rng(board_size)
     boards = rng.choice([-1, 0, 1], size=(64, board_size, board_size)).astype(np.int8)
     state = jax.jit(hex_env.state_from_boards, static_argnums=0)(topo, jnp.asarray(boards))
-    won = np.asarray(connectivity.wins(state.reach))  # (B, 2)
+    # labels path (production) and reach-propagation path (cross-check)
+    won_labels = np.stack(
+        [np.asarray(labels_ops.seat_wins(topo, state.labels, s)) for s in range(2)],
+        axis=-1,
+    )
+    reach = jax.jit(connectivity.full_reach, static_argnums=1)(state.stones, topo)
+    won_reach = np.asarray(connectivity.wins(reach))
+    np.testing.assert_array_equal(won_labels, won_reach)
     for i in range(boards.shape[0]):
         for seat in range(2):
-            assert won[i, seat] == bfs_connected(boards[i], seat), (
+            assert won_labels[i, seat] == bfs_connected(boards[i], seat), (
                 f"board {i} seat {seat}\n{boards[i]}"
             )
 
@@ -69,7 +77,10 @@ def test_hex_theorem_full_boards(board_size):
         boards.append(vals.reshape(board_size, board_size))
     boards = np.stack(boards)
     state = jax.jit(hex_env.state_from_boards, static_argnums=0)(topo, jnp.asarray(boards))
-    won = np.asarray(connectivity.wins(state.reach))
+    won = np.stack(
+        [np.asarray(labels_ops.seat_wins(topo, state.labels, s)) for s in range(2)],
+        axis=-1,
+    )
     np.testing.assert_array_equal(won.sum(axis=-1), np.ones(64))
 
 
@@ -89,8 +100,21 @@ def test_incremental_matches_recompute():
                 continue
             actions[i] = rng.choice(np.flatnonzero(mask[i]))
         state, _ = step_fn(state, jnp.asarray(actions))
-        fresh = jax.jit(connectivity.full_reach, static_argnums=1)(state.stones, topo)
-        np.testing.assert_array_equal(np.asarray(state.reach), np.asarray(fresh))
+        # Incrementally-maintained labels == from-scratch replay of the same
+        # union (partition equality, label values are history-dependent).
+        # Note: stones sharing an edge merge THROUGH the edge virtual, like
+        # the reference's pre-labeled padded edge rows — so plain stone-graph
+        # reach is not the right oracle here.
+        fresh_labels = np.asarray(
+            jax.jit(labels_ops.labels_from_stones, static_argnums=0)(topo, state.stones)
+        )
+        got = np.asarray(state.labels)
+        for b in range(B):
+            # same-partition check: equal labels in one table <=> in the other
+            ga, fa = got[b], fresh_labels[b]
+            assert np.array_equal(
+                ga[:, None] == ga[None, :], fa[:, None] == fa[None, :]
+            ), f"partition mismatch env {b}"
 
 
 def test_propagate_fixed_equals_fixpoint():
@@ -103,4 +127,5 @@ def test_propagate_fixed_equals_fixpoint():
     fixed = jax.jit(connectivity.propagate_fixed, static_argnums=(2, 3))(
         seeds, state.stones[:, :, None, :], topo, (7 * 7) // 2 + 2
     )
-    np.testing.assert_array_equal(np.asarray(fixed), np.asarray(state.reach))
+    full = jax.jit(connectivity.full_reach, static_argnums=1)(state.stones, topo)
+    np.testing.assert_array_equal(np.asarray(fixed), np.asarray(full))

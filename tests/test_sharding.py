@@ -1,0 +1,86 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hex_gym_env_tpu.parallel import DistributedSelfplayPPO, make_mesh, DATA_AXIS
+from hex_gym_env_tpu.train import SelfplayPPO
+from hex_gym_env_tpu.utils.config import PPOConfig, SelfplayConfig, TrainConfig
+
+
+def _cfg(n_envs=64):
+    return TrainConfig(
+        ppo=PPOConfig(n_steps=16, minibatch_size=32, n_epochs=2),
+        selfplay=SelfplayConfig(board_size=5, n_envs=n_envs, buffer_size=4),
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    assert mesh.shape["model"] == 1
+
+
+def test_distributed_train_step_runs():
+    mesh = make_mesh()
+    algo = DistributedSelfplayPPO(_cfg(), mesh)
+    state = algo.init_sharded_state(jax.random.key(0))
+    step = jax.jit(algo.train_step)
+    state, metrics = step(state)
+    assert int(state.timesteps) == 16 * 64
+    assert np.isfinite(float(metrics.ppo.policy_loss))
+    state, metrics = step(state)
+    assert int(state.timesteps) == 2 * 16 * 64
+    # carry stays sharded over the data axis
+    sh = state.carry.env.stones.sharding
+    assert sh.spec[0] == DATA_AXIS
+
+
+def test_distributed_params_stay_replicated_and_finite():
+    mesh = make_mesh()
+    algo = DistributedSelfplayPPO(_cfg(), mesh)
+    state = algo.init_sharded_state(jax.random.key(1))
+    step = jax.jit(algo.train_step)
+    for _ in range(3):
+        state, _ = step(state)
+    # replicated output: single logical value, finite
+    leaves = jax.tree.leaves(state.params)
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        assert np.isfinite(arr).all()
+    # all replicas identical: fetch per-device shards of one leaf
+    leaf = leaves[0]
+    vals = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for v in vals[1:]:
+        np.testing.assert_array_equal(v, vals[0])
+
+
+def test_distributed_learns_direction():
+    """3 distributed steps should already move episode rewards off zero /
+    produce nonzero gradients (loss changes params)."""
+    mesh = make_mesh()
+    algo = DistributedSelfplayPPO(_cfg(), mesh)
+    state = algo.init_sharded_state(jax.random.key(2))
+    p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    step = jax.jit(algo.train_step)
+    state, _ = step(state)
+    p1 = np.asarray(jax.tree.leaves(state.params)[0])
+    assert np.abs(p1 - p0).max() > 0
+
+
+def test_single_vs_multi_device_shapes_agree():
+    """The distributed algo consumes/produces states interchangeable with the
+    single-device template (same tree structure and logical shapes)."""
+    cfg = _cfg()
+    mesh = make_mesh()
+    dist = DistributedSelfplayPPO(cfg, mesh)
+    single = SelfplayPPO(cfg)
+    s_single = single.init_state(jax.random.key(3))
+    s_dist = dist.init_sharded_state(jax.random.key(3))
+    t1 = jax.tree.structure(s_single)
+    t2 = jax.tree.structure(s_dist)
+    assert t1 == t2
+    for a, b in zip(jax.tree.leaves(s_single), jax.tree.leaves(s_dist)):
+        assert a.shape == b.shape, (a.shape, b.shape)

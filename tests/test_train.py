@@ -1,0 +1,208 @@
+"""Training-stack tests: GAE, bank protocol, rollout invariants, learning."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hex_gym_env_tpu.core import env as hex_env
+from hex_gym_env_tpu.core.topology import get_topology
+from hex_gym_env_tpu.models import MlpPolicy
+from hex_gym_env_tpu.ops import masked
+from hex_gym_env_tpu.train import (
+    SelfplayPPO, SelfplayRunner, Evaluator, compute_gae, init_bank,
+    replace_member,
+)
+from hex_gym_env_tpu.utils.config import PPOConfig, SelfplayConfig, TrainConfig
+
+
+def reference_gae(rewards, values, dones, last_values, gamma, lam):
+    """Literal SB3-style backward python loop."""
+    T, B = rewards.shape
+    adv = np.zeros((T, B), np.float32)
+    next_adv = np.zeros(B, np.float32)
+    for t in reversed(range(T)):
+        if t == T - 1:
+            nnt = 1.0 - dones[t]
+            next_value = last_values
+        else:
+            nnt = 1.0 - dones[t]
+            next_value = values[t + 1]
+        delta = rewards[t] + gamma * next_value * nnt - values[t]
+        next_adv = delta + gamma * lam * nnt * next_adv
+        adv[t] = next_adv
+    return adv, adv + values
+
+
+def test_gae_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    T, B = 12, 5
+    rewards = rng.normal(size=(T, B)).astype(np.float32)
+    values = rng.normal(size=(T, B)).astype(np.float32)
+    dones = (rng.random((T, B)) < 0.2)
+    last_values = rng.normal(size=(B,)).astype(np.float32)
+    adv, ret = compute_gae(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+        jnp.asarray(last_values), 0.99, 0.95,
+    )
+    exp_adv, exp_ret = reference_gae(rewards, values, dones.astype(np.float32), last_values, 0.99, 0.95)
+    np.testing.assert_allclose(np.asarray(adv), exp_adv, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ret), exp_ret, rtol=1e-5, atol=1e-6)
+
+
+def test_zero_bank_is_uniform_random_policy():
+    """Zero params => constant logits => masked-uniform == BaseRandomPolicy."""
+    model = MlpPolicy(n_actions=25)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 5, 5)))["params"]
+    bank = init_bank(params, size=4)
+    zero = jax.tree.map(lambda x: jnp.zeros_like(x), params)
+    obs = jax.random.normal(jax.random.key(1), (3, 5, 5))
+    logits, _ = model.apply({"params": bank.best_params}, obs)
+    np.testing.assert_array_equal(np.asarray(logits), 0.0)
+    chex_equal = jax.tree.map(lambda a, b: bool(jnp.all(a == b)), bank.best_params, zero)
+    assert all(jax.tree.leaves(chex_equal))
+
+
+def test_bank_replace_and_promote():
+    model = MlpPolicy(n_actions=9)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 3, 3)))["params"]
+    bank = init_bank(params, size=3)
+    new = jax.tree.map(lambda x: jnp.ones_like(x), params)
+
+    # gated off: nothing changes
+    b2 = replace_member(bank, jax.random.key(1), new, jnp.float32(2.0), jnp.bool_(False))
+    assert float(b2.best_score) == 0.0
+    assert float(b2.scores.sum()) == 0.0
+
+    # replace: one slot becomes the new params, score recorded, best promoted
+    b3 = replace_member(bank, jax.random.key(2), new, jnp.float32(2.0), jnp.bool_(True))
+    assert float(b3.best_score) == 2.0
+    assert float(b3.scores.max()) == 2.0
+    assert float(b3.scores.min()) == 0.0
+    slot = int(jnp.argmax(b3.scores))
+    leaf = jax.tree.leaves(b3.params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf[slot]), np.asarray(jax.tree.leaves(new)[0]))
+    # best snapshot is the new params
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(b3.best_params)[0]), np.asarray(jax.tree.leaves(new)[0])
+    )
+
+    # equal score does NOT promote best (strict >), but can replace min slot
+    b4 = replace_member(b3, jax.random.key(3), params, jnp.float32(2.0), jnp.bool_(True))
+    assert float(b4.best_score) == 2.0
+
+
+def _small_cfg(**kw):
+    sp = dict(board_size=5, n_envs=16, buffer_size=4, policy="MLP-default", seed=0)
+    sp.update(kw.pop("selfplay", {}))
+    ppo_kw = dict(n_steps=32, minibatch_size=64, n_epochs=2)
+    ppo_kw.update(kw.pop("ppo", {}))
+    return TrainConfig(
+        ppo=PPOConfig(**ppo_kw), selfplay=SelfplayConfig(**sp),
+        total_timesteps=kw.pop("total_timesteps", 2048), **kw,
+    )
+
+
+def test_rollout_invariants():
+    """Transitions are well-formed: legal actions, rewards only at dones,
+    rewards in {-1, 0, 1}, obs always mover-frame with agent to move."""
+    cfg = _small_cfg()
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    carry, tr, last_values = jax.jit(
+        lambda p, b, c, k: algo.runner.run(p, b, c, k, 32)
+    )(state.params, state.bank, state.carry, jax.random.key(1))
+
+    legal = np.asarray(tr.legal)
+    actions = np.asarray(tr.action)
+    rewards = np.asarray(tr.reward)
+    dones = np.asarray(tr.done)
+
+    # every chosen action was legal
+    T, B = actions.shape
+    picked = np.take_along_axis(legal.reshape(T, B, -1), actions[..., None], axis=-1)
+    assert picked.all()
+    # rewards only on terminal transitions, and in {-1, 0, 1}
+    assert set(np.unique(rewards)).issubset({-1.0, 0.0, 1.0})
+    assert (rewards[~dones] == 0).all()
+    # episodes do finish in a 32-step window on 5x5
+    assert dones.sum() > 0
+    # log-probs are valid (finite, <= 0)
+    lp = np.asarray(tr.log_prob)
+    assert np.isfinite(lp).all() and (lp <= 1e-6).all()
+    # values finite
+    assert np.isfinite(np.asarray(tr.value)).all()
+    assert np.isfinite(np.asarray(last_values)).all()
+
+
+def test_rollout_seat_balance():
+    cfg = _small_cfg(selfplay=dict(n_envs=256))
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    seats = np.asarray(state.carry.agent_seat)
+    assert 0.3 < seats.mean() < 0.7  # both seats occur
+
+
+def test_train_step_runs_and_counts():
+    cfg = _small_cfg()
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    step = jax.jit(algo.train_step)
+    state, metrics = step(state)
+    assert int(state.timesteps) == 32 * 16
+    assert np.isfinite(float(metrics.ppo.policy_loss))
+    assert np.isfinite(float(metrics.ppo.value_loss))
+    state, _ = step(state)
+    assert int(state.timesteps) == 2 * 32 * 16
+
+
+def test_eval_step_updates_bank():
+    cfg = _small_cfg()
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    new_state, result = jax.jit(algo.eval_step)(state)
+    assert result.rewards.shape == (4,)
+    assert set(np.unique(np.asarray(result.rewards))).issubset({-1.0, 0.0, 1.0})
+    # score formula: mean_reward * exp(mean(scores) - 1) with zero scores
+    np.testing.assert_allclose(
+        float(result.score), float(result.mean_reward) * np.exp(-1.0), rtol=1e-5
+    )
+
+
+def test_learning_beats_random_on_5x5():
+    """A short PPO run must clearly beat a uniform-random opponent."""
+    cfg = _small_cfg(
+        selfplay=dict(n_envs=64, buffer_size=4),
+        ppo=dict(n_steps=64, minibatch_size=256, n_epochs=4),
+    )
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    step = jax.jit(algo.train_step)
+    for _ in range(12):
+        state, metrics = step(state)
+
+    # winrate vs uniform-random over fresh games, deterministic agent
+    topo = get_topology(5)
+    B = 256
+    model = algo.model
+
+    @jax.jit
+    def playout(params, key):
+        st = hex_env.initial_state(topo, B)
+        def body(carry, k):
+            st = carry
+            obs = hex_env.observe(topo, st).astype(jnp.float32)
+            legal = hex_env.legal_mask(topo, st)
+            logits, _ = model.apply({"params": params}, obs)
+            a = masked.mode(logits, legal)
+            st, _ = hex_env.step(topo, st, a)
+            legal2 = hex_env.legal_mask(topo, st)
+            a2 = masked.sample(k, jnp.zeros_like(logits), legal2)
+            st, _ = hex_env.step(topo, st, a2)
+            return st, None
+        st, _ = jax.lax.scan(body, st, jax.random.split(key, 13))
+        return st.winner
+
+    winners = np.asarray(playout(state.params, jax.random.key(9)))
+    winrate = (winners == 0).mean()
+    assert winrate > 0.8, f"agent only wins {winrate:.2%} vs random after training"
