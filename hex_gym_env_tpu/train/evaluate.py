@@ -52,7 +52,7 @@ class Evaluator:
         """Member i plays env i: paired vmap over (snapshot_i, obs_i)."""
         obs_f = hex_env.observe(self.topo, state).astype(jnp.float32)
         return jax.vmap(
-            lambda p, o: self.model.apply({"params": p}, o[None])[0][0]
+            lambda v, o: self.model.apply(v, o[None])[0][0]
         )(bank.params, obs_f)
 
     def play_vs_pool(self, params: Any, bank: OpponentBank, key: jax.Array) -> jnp.ndarray:
@@ -81,7 +81,7 @@ class Evaluator:
             st, total = carry
             obs = hex_env.observe(topo, st).astype(jnp.float32)
             legal = hex_env.legal_mask(topo, st)
-            logits, _ = self.model.apply({"params": params}, obs)
+            logits, _ = self.model.apply(params, obs)
             a = masked.mode(logits, legal)  # deterministic agent
             st, rew1 = hex_env.step(topo, st, a)
             st, rew2 = opponent_move(st, k, active=~st.done)

@@ -63,8 +63,16 @@ def make_update_fn(
     mesh-averaged gradient and parameters stay bitwise replicated.
     """
 
-    def loss_fn(params, mb: PPOBatch):
-        logits, values = model.apply({"params": params}, mb.obs.astype(jnp.float32))
+    def loss_fn(params, extra, mb: PPOBatch):
+        variables = {"params": params, **extra}
+        if extra:  # e.g. BatchNorm: batch statistics + running-average update
+            (logits, values), new_extra = model.apply(
+                variables, mb.obs.astype(jnp.float32), train=True,
+                mutable=list(extra.keys()),
+            )
+        else:
+            logits, values = model.apply(variables, mb.obs.astype(jnp.float32))
+            new_extra = extra
         log_prob = masked.log_prob(logits, mb.legal, mb.action)
         entropy = masked.entropy(logits, mb.legal)
 
@@ -84,38 +92,44 @@ def make_update_fn(
         log_ratio = log_prob - mb.log_prob_old
         approx_kl = jnp.mean(jnp.exp(log_ratio) - 1.0 - log_ratio)
         clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_range).astype(jnp.float32))
-        return loss, PPOStats(policy_loss, value_loss, -entropy_loss, approx_kl, clip_frac)
+        return loss, (PPOStats(policy_loss, value_loss, -entropy_loss, approx_kl, clip_frac), new_extra)
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def update(params: Any, opt_state, batch: PPOBatch, key: jax.Array):
+    def update(variables: Any, opt_state, batch: PPOBatch, key: jax.Array):
+        """``variables`` is the full flax dict; only ``params`` is trained,
+        other collections (batch_stats) are carried through the sweep."""
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
         n = batch.action.shape[0]
         n_minibatches = n // cfg.minibatch_size
 
         def epoch_body(carry, k):
-            params, opt_state = carry
+            params, extra, opt_state = carry
             perm = jax.random.permutation(k, n)
             mb_indices = perm[: n_minibatches * cfg.minibatch_size].reshape(
                 n_minibatches, cfg.minibatch_size
             )
 
             def mb_body(carry, idx):
-                params, opt_state = carry
+                params, extra, opt_state = carry
                 mb = jax.tree.map(lambda x: x[idx], batch)
-                grads, stats = grad_fn(params, mb)
+                grads, (stats, extra) = grad_fn(params, extra, mb)
                 if grad_reduce is not None:
                     grads = grad_reduce(grads)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), stats
+                return (params, extra, opt_state), stats
 
-            (params, opt_state), stats = jax.lax.scan(mb_body, (params, opt_state), mb_indices)
-            return (params, opt_state), stats
+            (params, extra, opt_state), stats = jax.lax.scan(
+                mb_body, (params, extra, opt_state), mb_indices
+            )
+            return (params, extra, opt_state), stats
 
-        (params, opt_state), stats = jax.lax.scan(
-            epoch_body, (params, opt_state), jax.random.split(key, cfg.n_epochs)
+        (params, extra, opt_state), stats = jax.lax.scan(
+            epoch_body, (params, extra, opt_state), jax.random.split(key, cfg.n_epochs)
         )
         mean_stats = jax.tree.map(jnp.mean, stats)
-        return params, opt_state, mean_stats
+        return {"params": params, **extra}, opt_state, mean_stats
 
     return update

@@ -75,10 +75,10 @@ class SelfplayRunner:
             return hex_env.state_from_boards(self.topo, boards)
         return hex_env.initial_state(self.topo, self.cfg.n_envs)
 
-    def policy_logits_value(self, params: Any, state: HexState):
+    def policy_logits_value(self, variables: Any, state: HexState):
         obs = hex_env.observe(self.topo, state)
         legal = hex_env.legal_mask(self.topo, state)
-        logits, value = self.model.apply({"params": params}, obs.astype(jnp.float32))
+        logits, value = self.model.apply(variables, obs.astype(jnp.float32))
         return obs, legal, logits, value
 
     def opponent_logits(
@@ -88,12 +88,12 @@ class SelfplayRunner:
         obs_f = hex_env.observe(self.topo, state).astype(jnp.float32)
         legal = hex_env.legal_mask(self.topo, state)
         per_member = jax.vmap(
-            lambda p: self.model.apply({"params": p}, obs_f)[0]
+            lambda v: self.model.apply(v, obs_f)[0]
         )(bank.params)  # (P, B, A)
         chosen = jnp.take_along_axis(
             per_member, opp_idx[None, :, None], axis=0
         )[0]  # (B, A)
-        best = self.model.apply({"params": bank.best_params}, obs_f)[0]
+        best = self.model.apply(bank.best_params, obs_f)[0]
         return jnp.where(use_best[:, None], best, chosen), legal
 
     def opponent_move(

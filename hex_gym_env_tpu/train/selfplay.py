@@ -25,7 +25,7 @@ from hex_gym_env_tpu.utils.config import TrainConfig
 
 @struct.dataclass
 class TrainState:
-    params: Any
+    params: Any  # full flax variables dict: {"params": ..., [other collections]}
     opt_state: Any
     bank: OpponentBank
     carry: RolloutCarry
@@ -58,12 +58,11 @@ class SelfplayPPO:
         k_model, k_carry, key = jax.random.split(key, 3)
         n = self.topo.n
         variables = self.model.init(k_model, jnp.zeros((1, n, n), jnp.float32))
-        params = variables["params"]
-        bank = init_bank(params, self.cfg.selfplay.buffer_size)
+        bank = init_bank(variables, self.cfg.selfplay.buffer_size)
         carry = self.runner.init_carry(bank, k_carry)
         return TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
+            params=variables,
+            opt_state=self.optimizer.init(variables["params"]),
             bank=bank,
             carry=carry,
             key=key,

@@ -193,7 +193,7 @@ def test_learning_beats_random_on_5x5():
             st = carry
             obs = hex_env.observe(topo, st).astype(jnp.float32)
             legal = hex_env.legal_mask(topo, st)
-            logits, _ = model.apply({"params": params}, obs)
+            logits, _ = model.apply(params, obs)  # full variables dict
             a = masked.mode(logits, legal)
             st, _ = hex_env.step(topo, st, a)
             legal2 = hex_env.legal_mask(topo, st)
@@ -206,3 +206,22 @@ def test_learning_beats_random_on_5x5():
     winners = np.asarray(playout(state.params, jax.random.key(9)))
     winrate = (winners == 0).mean()
     assert winrate > 0.8, f"agent only wins {winrate:.2%} vs random after training"
+
+
+def test_cnn_policy_trains():
+    """The CNN family must train end-to-end (BatchNorm batch_stats threaded
+    through rollout inference and the PPO update)."""
+    cfg = _small_cfg(selfplay=dict(policy="CNN", n_envs=8, buffer_size=2),
+                     ppo=dict(n_steps=8, minibatch_size=16, n_epochs=1))
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    assert "batch_stats" in state.params
+    step = jax.jit(algo.train_step)
+    bs0 = jax.tree.leaves(state.params["batch_stats"])[0].copy()
+    state, metrics = step(state)
+    assert np.isfinite(float(metrics.ppo.policy_loss))
+    bs1 = jax.tree.leaves(state.params["batch_stats"])[0]
+    assert bool(jnp.any(bs0 != bs1))  # running stats moved during the update
+    # eval path also works with full variables
+    state, result = jax.jit(algo.eval_step)(state)
+    assert np.isfinite(float(result.mean_reward))
