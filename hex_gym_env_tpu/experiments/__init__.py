@@ -1,0 +1,96 @@
+"""Experiment preset grid mirroring the reference's script matrix.
+
+The reference hardcodes one Python file per configuration
+(``scripts/experiments/*.py``, 14 files + 4 ``buffer_exp/``); here the same
+grid is a typed registry:
+
+- size-titled runs ``{N}x{N}_MLP-default_lr-0.0003`` for N in 3..11
+  (buffer 30, eval_freq 10000, n_eval 30, learn 1e9);
+- architecture x lr grid at 9x9: {MLP-default, MLP-deep, MLP-wide-deep,
+  CNN} x lr {3e-4, 3e-3, 3e-2} (same pool/eval settings);
+- buffer-size ablations ``buffer_exp``: 3x3/buffer1 (eval 1000, 1e6 steps),
+  4x4/buffer1 (the reference file is titled 4x4_4 but actually sets
+  buffer_size=1 — reproduced as written), 6x6/buffer64 (eval 5000, 10e6),
+  7x7/buffer256 (eval 8000, 10e6).
+
+Batched-training knobs (n_envs, n_steps, minibatch) are free parameters of
+this framework; presets default them to a TPU-sensible 256 envs x 128 steps
+(change at call time for strict single-stream curve replication).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+from hex_gym_env_tpu.utils.config import PPOConfig, SelfplayConfig, TrainConfig
+
+REGISTRY: Dict[str, TrainConfig] = {}
+
+
+def _add(
+    name: str,
+    board_size: int,
+    policy: str = "MLP-default",
+    lr: float = 3e-4,
+    buffer_size: int = 30,
+    eval_freq: int = 10_000,
+    total: int = 1_000_000_000,
+    n_envs: int = 256,
+    n_steps: int = 128,
+    minibatch: int = 4096,
+) -> None:
+    REGISTRY[name] = TrainConfig(
+        ppo=PPOConfig(learning_rate=lr, n_steps=n_steps, minibatch_size=minibatch),
+        selfplay=SelfplayConfig(
+            board_size=board_size,
+            n_envs=n_envs,
+            buffer_size=buffer_size,
+            policy=policy,
+            eval_freq=eval_freq,
+            n_eval_episodes=buffer_size,
+            sample_board=False,
+        ),
+        total_timesteps=total,
+        model_name=name,
+    )
+
+
+# size-titled grid (reference: {N}x{N}_MLP-default_lr-0.0003.py, N=3..11)
+for n in range(3, 12):
+    _add(f"{n}x{n}_MLP-default_lr-0.0003", board_size=n)
+
+# architecture x learning-rate grid at 9x9
+for fam in ["MLP-default", "MLP-deep", "MLP-wide-deep", "CNN"]:
+    for lr in [3e-4, 3e-3, 3e-2]:
+        _add(f"{fam}_lr-{lr}", board_size=9, policy=fam, lr=lr)
+
+# buffer_exp ablations
+_add("3x3_buffer_1", 3, buffer_size=1, eval_freq=1_000, total=1_000_000)
+_add("4x4_buffer_1", 4, buffer_size=1, eval_freq=1_000, total=1_000_000)
+_add("6x6_buffer_64", 6, buffer_size=64, eval_freq=5_000, total=10_000_000)
+_add("7x7_buffer_256", 7, buffer_size=256, eval_freq=8_000, total=10_000_000)
+
+
+def get_config(name: str, **overrides) -> TrainConfig:
+    """Fetch a preset, optionally overriding selfplay/ppo/top-level fields."""
+    cfg = REGISTRY[name]
+    if not overrides:
+        return cfg
+    sp = {k: v for k, v in overrides.items() if hasattr(cfg.selfplay, k)}
+    pp = {k: v for k, v in overrides.items() if hasattr(cfg.ppo, k)}
+    top = {
+        k: v
+        for k, v in overrides.items()
+        if k not in sp and k not in pp and hasattr(cfg, k)
+    }
+    return dataclasses.replace(
+        cfg,
+        selfplay=dataclasses.replace(cfg.selfplay, **sp),
+        ppo=dataclasses.replace(cfg.ppo, **pp),
+        **top,
+    )
+
+
+def list_experiments() -> list[str]:
+    return sorted(REGISTRY)

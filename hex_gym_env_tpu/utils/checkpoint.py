@@ -20,6 +20,37 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _is_prng_key(x) -> bool:
+    return hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
+def _unwrap_keys(tree: Any) -> Any:
+    """Typed PRNG keys are not serializable; store their raw uint32 data.
+
+    Works on both concrete arrays and abstract ``ShapeDtypeStruct`` templates
+    (as produced by ``jax.eval_shape`` for restore targets).
+    """
+
+    def unwrap(x):
+        if not _is_prng_key(x):
+            return x
+        if isinstance(x, jax.ShapeDtypeStruct):
+            return jax.eval_shape(jax.random.key_data, x)
+        return jax.random.key_data(x)
+
+    return jax.tree.map(unwrap, tree)
+
+
+def _rewrap_keys(tree: Any, template: Any) -> Any:
+    """Re-wrap raw key data wherever the template holds a typed key."""
+    return jax.tree.map(
+        lambda t, x: jax.random.wrap_key_data(x) if _is_prng_key(t) else x,
+        template,
+        tree,
+        is_leaf=_is_prng_key,
+    )
+
+
 class CheckpointManager:
     def __init__(self, directory: str, keep: int = 20):
         self._dir = os.path.abspath(directory)
@@ -30,16 +61,17 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+        self._mgr.save(step, args=ocp.args.StandardSave(_unwrap_keys(state)), force=force)
         self._mgr.wait_until_finished()
 
     def restore(self, state_template: Any, step: int | None = None) -> Any:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found under {self._dir}")
-        return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template)
+        raw = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_unwrap_keys(state_template))
         )
+        return _rewrap_keys(raw, state_template)
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

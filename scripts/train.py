@@ -1,0 +1,87 @@
+"""Training entry point.
+
+Replaces the reference's per-experiment launcher files
+(``scripts/selfplay_new.py``, ``scripts/experiments/*.py`` — hyperparameters
+as edited constants, no argparse) with one CLI over the preset registry:
+
+    python scripts/train.py --experiment 7x7_MLP-default_lr-0.0003 \
+        --total-timesteps 2000000 [--n-envs 512] [--multichip] [--resume]
+
+``--multichip`` runs the SPMD data-parallel trainer over every visible
+device; otherwise single-device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")  # repo-root execution
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--experiment", default="7x7_MLP-default_lr-0.0003")
+    ap.add_argument("--list", action="store_true", help="list presets and exit")
+    ap.add_argument("--total-timesteps", type=int, default=None)
+    ap.add_argument("--n-envs", type=int, default=None)
+    ap.add_argument("--n-steps", type=int, default=None)
+    ap.add_argument("--minibatch-size", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--multichip", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from hex_gym_env_tpu.experiments import get_config, list_experiments
+
+    if args.list:
+        print("\n".join(list_experiments()))
+        return
+
+    overrides = {}
+    if args.total_timesteps is not None:
+        overrides["total_timesteps"] = args.total_timesteps
+    if args.n_envs is not None:
+        overrides["n_envs"] = args.n_envs
+    if args.n_steps is not None:
+        overrides["n_steps"] = args.n_steps
+    if args.minibatch_size is not None:
+        overrides["minibatch_size"] = args.minibatch_size
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    cfg = get_config(args.experiment, **overrides)
+
+    import jax
+
+    from hex_gym_env_tpu.train.trainer import Trainer
+
+    if args.multichip:
+        from hex_gym_env_tpu.parallel import DistributedSelfplayPPO, make_mesh
+
+        mesh = make_mesh()
+        trainer = Trainer(cfg)
+        trainer.algo = DistributedSelfplayPPO(cfg, mesh)
+        trainer.train_step = jax.jit(trainer.algo.train_step)
+        trainer.eval_step = jax.jit(trainer.algo.eval_step)
+        state = (
+            trainer.algo.shard_state(trainer.resume())
+            if args.resume
+            else trainer.algo.init_sharded_state(jax.random.key(cfg.selfplay.seed))
+        )
+    else:
+        trainer = Trainer(cfg)
+        state = trainer.resume() if args.resume else None
+
+    print(f"training {cfg.model_name}: {cfg.total_timesteps} transitions "
+          f"on {len(jax.devices())} device(s)")
+    trainer.fit(state)
+
+
+if __name__ == "__main__":
+    main()
