@@ -89,6 +89,15 @@ class Trainer:
 
             if steps >= next_ckpt:
                 self._ckpt_mgr().save(steps, state)
+                # the reference also snapshots its best pool model every
+                # checkpoint period (EvaluationCallback.py:53-55)
+                best_score = float(state.bank.best_score)
+                ckpt_lib.save_params(
+                    os.path.join(
+                        cfg.model_dir, cfg.model_name, f"best_{best_score:.4f}"
+                    ),
+                    state.bank.best_params,
+                )
                 next_ckpt = steps + cfg.checkpoint_every
 
         wall = time.perf_counter() - t_start
