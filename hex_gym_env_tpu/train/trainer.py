@@ -59,29 +59,32 @@ class Trainer:
         while int(state.timesteps) < cfg.total_timesteps:
             t0 = time.perf_counter()
             state, metrics = self.train_step(state)
-            steps = int(state.timesteps)  # syncs; one fetch per iteration
+            # one host<->device round trip for all per-iteration scalars
+            steps, m = jax.device_get((state.timesteps, metrics))
+            steps = int(steps)
             dt = time.perf_counter() - t0
 
             scalars = {
-                "rollout/ep_rew_mean": float(metrics.mean_episode_reward),
-                "rollout/episodes": float(metrics.episodes_finished),
-                "train/policy_loss": float(metrics.ppo.policy_loss),
-                "train/value_loss": float(metrics.ppo.value_loss),
-                "train/entropy": float(metrics.ppo.entropy),
-                "train/approx_kl": float(metrics.ppo.approx_kl),
-                "train/clip_frac": float(metrics.ppo.clip_frac),
+                "rollout/ep_rew_mean": float(m.mean_episode_reward),
+                "rollout/episodes": float(m.episodes_finished),
+                "train/policy_loss": float(m.ppo.policy_loss),
+                "train/value_loss": float(m.ppo.value_loss),
+                "train/entropy": float(m.ppo.entropy),
+                "train/approx_kl": float(m.ppo.approx_kl),
+                "train/clip_frac": float(m.ppo.clip_frac),
                 "perf/steps_per_s": per_iter / dt,
             }
 
             if steps >= next_eval:
                 state, result = self.eval_step(state)
                 next_eval = steps + cfg.selfplay.eval_freq
+                r = jax.device_get(result)
                 scalars.update(
                     {
-                        "eval/mean_reward": float(result.mean_reward),
-                        "eval/score": float(result.score),
-                        "eval/replaced": float(result.replaced),
-                        "eval/best_score": float(result.best_score),
+                        "eval/mean_reward": float(r.mean_reward),
+                        "eval/score": float(r.score),
+                        "eval/replaced": float(r.replaced),
+                        "eval/best_score": float(r.best_score),
                     }
                 )
 

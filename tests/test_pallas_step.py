@@ -1,0 +1,105 @@
+"""Pallas fused step == lax step, bit for bit (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hex_gym_env_tpu.core import env as hex_env
+from hex_gym_env_tpu.core.topology import get_topology
+from hex_gym_env_tpu.ops import pallas_step
+
+
+def assert_states_equal(a, b, msg=""):
+    for name in ["stones", "labels", "to_move", "done", "winner", "empty", "move_count"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=f"{msg}: field {name}",
+        )
+
+
+@pytest.mark.parametrize("board_size", [5, 7, 11])
+def test_pallas_step_matches_lax(board_size):
+    topo = get_topology(board_size)
+    rng = np.random.default_rng(board_size)
+    B = 64
+    lax_state = hex_env.initial_state(topo, B)
+    pls_state = hex_env.initial_state(topo, B)
+
+    lax_fn = jax.jit(lambda s, a: hex_env.step(topo, s, a))
+    pls_fn = jax.jit(
+        lambda s, a: pallas_step.step(topo, s, a, block=32, interpret=True)
+    )
+
+    for t in range(board_size * board_size + 2):
+        # mix of legal and (10%) illegal actions exercises every branch
+        mask = np.asarray(hex_env.legal_mask(topo, lax_state))
+        actions = np.zeros(B, np.int32)
+        for i in range(B):
+            legal = np.flatnonzero(mask[i])
+            if len(legal) == 0:
+                actions[i] = 0
+            elif rng.random() < 0.1:
+                actions[i] = rng.integers(0, board_size**2)
+            else:
+                actions[i] = rng.choice(legal)
+        a = jnp.asarray(actions)
+        lax_state, lax_rew = lax_fn(lax_state, a)
+        pls_state, pls_rew = pls_fn(pls_state, a)
+        assert_states_equal(lax_state, pls_state, msg=f"t={t}")
+        np.testing.assert_array_equal(np.asarray(lax_rew), np.asarray(pls_rew))
+        if np.asarray(lax_state.done).all():
+            break
+
+
+def test_pallas_step_active_mask():
+    topo = get_topology(5)
+    B = 16
+    state = hex_env.initial_state(topo, B)
+    actions = jnp.arange(B, dtype=jnp.int32)
+    active = jnp.arange(B) % 2 == 0
+    lax_state, lax_rew = hex_env.step(topo, state, actions, active=active)
+    pls_state, pls_rew = pallas_step.step(
+        topo, state, actions, active=active, block=16, interpret=True
+    )
+    assert_states_equal(lax_state, pls_state)
+    np.testing.assert_array_equal(np.asarray(lax_rew), np.asarray(pls_rew))
+    # inactive rows are untouched
+    np.testing.assert_array_equal(
+        np.asarray(pls_state.move_count), np.asarray(active).astype(np.int32)
+    )
+
+
+def test_fused_random_rollout_invariants():
+    """One-kernel rollout: valid states, plausible game statistics."""
+    from hex_gym_env_tpu.ops import labels as labels_ops
+
+    topo = get_topology(7)
+    B, T = 64, 200
+    state = hex_env.initial_state(topo, B)
+    out, games = pallas_step.random_rollout(
+        topo, state, seed=7, n_steps=T, block=32, interpret=True
+    )
+    games = np.asarray(games)
+    s0 = np.asarray(out.stones[:, 0])
+    s1 = np.asarray(out.stones[:, 1])
+    # stones disjoint, only real cells occupied
+    assert not (s0 & s1).any()
+    assert not s0[:, topo.num_cells:].any() and not s1[:, topo.num_cells:].any()
+    # empty counter consistent with the boards
+    np.testing.assert_array_equal(
+        np.asarray(out.empty), topo.num_cells - (s0 | s1)[:, : topo.num_cells].sum(-1)
+    )
+    # random 7x7 games last 13..49 plies; T=200 must finish 4..15 per env
+    assert games.min() >= 200 // 49 and games.max() <= 200 // 13 + 1
+    # label tables must describe exactly the boards' connectivity
+    fresh = np.asarray(
+        jax.jit(labels_ops.labels_from_stones, static_argnums=0)(topo, out.stones)
+    )
+    got = np.asarray(out.labels)
+    for b in range(B):
+        ga, fa = got[b], fresh[b]
+        assert np.array_equal(ga[:, None] == ga[None, :], fa[:, None] == fa[None, :]), b
+    # no game may contain a winning connection (they reset immediately)
+    for seat in range(2):
+        assert not np.asarray(labels_ops.seat_wins(topo, out.labels, seat)).any()
