@@ -1,15 +1,18 @@
 """Headline benchmark: Hex env-steps/s per chip (7x7, batch 8192).
 
-Matches BASELINE.json config 3: a lockstep scripted rollout over 8192
-seven-by-seven games — uniform-random *legal* moves (masked categorical over
-zero logits, i.e. the reference's BaseRandomPolicy), full win-check every
-move, auto-reset on termination.  Every scan iteration applies one stone per
-game, so steps/s counts completed ``env.step`` transitions per second.
+Matches BASELINE.json config 3: lockstep rollouts over 8192 seven-by-seven
+games — uniform-random *legal* moves, full win-check every move, auto-reset
+on termination; steps/s counts applied moves per second.
 
-vs_baseline is measured against the driver north-star target of 10M
-env-steps/s on one host (BASELINE.md; the reference itself publishes no
-benchmarks — its code comments imply low-hundreds of games/s on a laptop
-CPU, i.e. ~10k steps/s).
+Two implementations of the same semantics are measured and the faster wins:
+
+1. the fused Pallas kernel (``ops/pallas_step.random_rollout``): all T steps
+   inside one kernel launch, state VMEM-resident, hardware PRNG;
+2. the composable lax path (public ``core.env`` API under ``lax.scan``).
+
+vs_baseline is against the driver north-star target of 10M env-steps/s on
+one host (BASELINE.md; the reference itself publishes no numbers — its code
+comments imply low-hundreds of games/s ≈ 1e4 steps/s on a laptop).
 
 Prints exactly one JSON line.
 """
@@ -18,11 +21,15 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from hex_gym_env_tpu.core import env as hex_env
 from hex_gym_env_tpu.core.topology import get_topology
-from hex_gym_env_tpu.ops import masked
+from hex_gym_env_tpu.ops import masked, pallas_step
 
 BOARD = 7
 BATCH = 8192
@@ -31,8 +38,7 @@ REPEATS = 5
 TARGET = 10_000_000.0
 
 
-def main() -> None:
-    topo = get_topology(BOARD)
+def bench_lax(topo) -> float:
     fresh = hex_env.initial_state(topo, BATCH)
 
     @jax.jit
@@ -52,15 +58,42 @@ def main() -> None:
 
     state = hex_env.initial_state(topo, BATCH)
     state = run(state, jax.random.key(0))
-    jax.block_until_ready(state)  # compile + warmup
+    jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for i in range(REPEATS):
         state = run(state, jax.random.key(i + 1))
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
+    return REPEATS * STEPS_PER_CALL * BATCH / dt
 
-    steps_per_s = REPEATS * STEPS_PER_CALL * BATCH / dt
+
+def bench_pallas(topo) -> float:
+    run = jax.jit(
+        lambda st, seed: pallas_step.random_rollout(topo, st, seed, STEPS_PER_CALL)
+    )
+    state = hex_env.initial_state(topo, BATCH)
+    state, games = run(state, 0)
+    jax.block_until_ready(state)
+    if int(games.sum()) <= 0:
+        raise RuntimeError("fused rollout finished no games — refusing to report")
+
+    t0 = time.perf_counter()
+    for i in range(REPEATS):
+        state, games = run(state, i + 1)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return REPEATS * STEPS_PER_CALL * BATCH / dt
+
+
+def main() -> None:
+    topo = get_topology(BOARD)
+    try:
+        steps_per_s = bench_pallas(topo)
+    except Exception:
+        steps_per_s = 0.0
+    lax_rate = bench_lax(topo)
+    steps_per_s = max(steps_per_s, lax_rate)
     print(
         json.dumps(
             {

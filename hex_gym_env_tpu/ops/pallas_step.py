@@ -37,7 +37,7 @@ META_WIDTH = 8
 
 def _step_kernel(n, L, s0_ref, s1_ref, lbl_ref, meta_ref,
                  o_s0, o_s1, o_lbl, o_meta, o_rew):
-    s0 = s0_ref[:]  # (BLOCK, L) bool — seat 0 stones (world frame)
+    s0 = s0_ref[:]  # (BLOCK, L) int32 — seat 0 stones (world frame)
     s1 = s1_ref[:]
     labels = lbl_ref[:]  # (BLOCK, L) int32
     meta = meta_ref[:]  # (BLOCK, 8) int32
@@ -59,15 +59,15 @@ def _step_kernel(n, L, s0_ref, s1_ref, lbl_ref, meta_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 1)
     onehot = lane == c  # (BLOCK, L)
 
-    occupied = s0 | s1
+    occupied = (s0 + s1) > 0
     valid = jnp.sum((onehot & ~occupied).astype(jnp.int32), axis=1, keepdims=True) > 0
     invalid_now = ~valid & ~was_done & ext_active
     act = valid & ~was_done & ext_active  # (BLOCK, 1)
 
-    place = onehot & act
-    new_s0 = s0 | (place & mover_is_0)
-    new_s1 = s1 | (place & ~mover_is_0)
-    stones_s = jnp.where(mover_is_0, new_s0, new_s1)  # (BLOCK, L)
+    place = (onehot & act & mover_is_0).astype(jnp.int32)
+    new_s0 = s0 | place
+    new_s1 = s1 | (onehot & act & ~mover_is_0).astype(jnp.int32)
+    stones_s = jnp.where(mover_is_0, new_s0, new_s1) > 0  # (BLOCK, L) mask
 
     # ---- flat-label union over the 8 merge slots -------------------------
     y, x = c // n, c % n
@@ -84,18 +84,19 @@ def _step_kernel(n, L, s0_ref, s1_ref, lbl_ref, meta_ref,
     label_e0 = jnp.sum(jnp.where(lane == e0, labels, 0), axis=1, keepdims=True)
     label_e1 = jnp.sum(jnp.where(lane == e1, labels, 0), axis=1, keepdims=True)
 
-    match = jnp.zeros(s0.shape, jnp.bool_)
-    joined_e0 = jnp.zeros_like(act)
-    joined_e1 = jnp.zeros_like(act)
+    # accumulated masks are int32 (0/1): Mosaic has no i1/i8 vector constants
+    match = jnp.zeros(s0.shape, jnp.int32)
+    joined_e0 = jnp.zeros(act.shape, jnp.int32)
+    joined_e1 = jnp.zeros(act.shape, jnp.int32)
 
     def one_slot(slot_id, slot_valid, is_virtual, match, joined_e0, joined_e1):
         oh = lane == slot_id  # (BLOCK, L)
         slot_label = jnp.sum(jnp.where(oh, labels, 0), axis=1, keepdims=True)
         occ = jnp.sum((oh & stones_s).astype(jnp.int32), axis=1, keepdims=True) > 0
         eligible = slot_valid & (occ | is_virtual) & act  # (BLOCK, 1)
-        match = match | ((labels == slot_label) & eligible)
-        joined_e0 = joined_e0 | (eligible & (slot_label == label_e0))
-        joined_e1 = joined_e1 | (eligible & (slot_label == label_e1))
+        match = match | ((labels == slot_label) & eligible).astype(jnp.int32)
+        joined_e0 = joined_e0 | (eligible & (slot_label == label_e0)).astype(jnp.int32)
+        joined_e1 = joined_e1 | (eligible & (slot_label == label_e1)).astype(jnp.int32)
         return match, joined_e0, joined_e1
 
     for off, v in zip(offs, valids):
@@ -104,15 +105,15 @@ def _step_kernel(n, L, s0_ref, s1_ref, lbl_ref, meta_ref,
             sid, v, False, match, joined_e0, joined_e1
         )
     # edge-virtual slots: valid on the mover's matching edge, always occupied
-    v_e0 = jnp.where(mover_is_0, y == 0, x == 0)
-    v_e1 = jnp.where(mover_is_0, y == n - 1, x == n - 1)
+    v_e0 = (mover_is_0 & (y == 0)) | (~mover_is_0 & (x == 0))
+    v_e1 = (mover_is_0 & (y == n - 1)) | (~mover_is_0 & (x == n - 1))
     match, joined_e0, joined_e1 = one_slot(e0, v_e0, True, match, joined_e0, joined_e1)
     match, joined_e0, joined_e1 = one_slot(e1, v_e1, True, match, joined_e0, joined_e1)
 
-    new_labels = jnp.where(match, c, labels)
+    new_labels = jnp.where(match > 0, c, labels)
 
     pre_connected = label_e0 == label_e1
-    win = act & ((joined_e0 & joined_e1) | pre_connected)  # (BLOCK, 1)
+    win = act & (((joined_e0 & joined_e1) > 0) | pre_connected)  # (BLOCK, 1)
 
     new_empty = empty - act.astype(jnp.int32)
     draw = act & ~win & (new_empty <= 0)
@@ -177,8 +178,8 @@ def step(
         return pl.BlockSpec((block, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((B, L), jnp.bool_),
-        jax.ShapeDtypeStruct((B, L), jnp.bool_),
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
         jax.ShapeDtypeStruct((B, L), jnp.int32),
         jax.ShapeDtypeStruct((B, META_WIDTH), jnp.int32),
         jax.ShapeDtypeStruct((B, 2), jnp.float32),
@@ -194,10 +195,15 @@ def step(
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(state.stones[:, 0], state.stones[:, 1], state.labels, meta)
+    )(
+        state.stones[:, 0].astype(jnp.int32),
+        state.stones[:, 1].astype(jnp.int32),
+        state.labels,
+        meta,
+    )
 
     new_state = HexState(
-        stones=jnp.stack([s0_new, s1_new], axis=1),
+        stones=jnp.stack([s0_new != 0, s1_new != 0], axis=1),
         labels=labels_new,
         to_move=meta_new[:, META_TO_MOVE],
         done=meta_new[:, META_DONE] != 0,
@@ -246,17 +252,24 @@ def _random_rollout_kernel(n, L, T, use_device_prng, *refs):
             bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         else:
             bits = bits_ref[t]
-        empties = ~(s0 | s1) & cell_mask
-        score = jnp.where(empties, bits | jnp.uint32(1), jnp.uint32(0))
+        empties = ((s0 + s1) == 0) & cell_mask
+        # Mosaic argmax lowers only for f32 (and cannot cast uint32->f32):
+        # go via int32 after shifting to the non-negative top-24-bit range —
+        # still uniform, and empty cells strictly beat non-empty ones
+        score = jnp.where(
+            empties,
+            pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32).astype(jnp.float32) + 1.0,
+            jnp.float32(0.0),
+        )
         c = jnp.argmax(score, axis=1, keepdims=True).astype(jnp.int32)
 
         # --- place the stone (always valid: an empty cell always exists
         #     right after reset, and games reset the moment they finish) ---
         onehot = lane == c
         mover_is_0 = s == 0
-        new_s0 = s0 | (onehot & mover_is_0)
-        new_s1 = s1 | (onehot & ~mover_is_0)
-        stones_s = jnp.where(mover_is_0, new_s0, new_s1)
+        new_s0 = s0 | (onehot & mover_is_0).astype(jnp.int32)
+        new_s1 = s1 | (onehot & ~mover_is_0).astype(jnp.int32)
+        stones_s = jnp.where(mover_is_0, new_s0, new_s1) > 0
 
         y, x = c // n, c % n
         e0 = num_cells + 2 * s
@@ -269,37 +282,36 @@ def _random_rollout_kernel(n, L, T, use_device_prng, *refs):
         offs = (-n, -n + 1, -1, 1, n - 1, n)
         valids = (top, top & rgt, lft, rgt, bot & lft, bot)
 
-        match = jnp.zeros(shape, jnp.bool_)
-        joined_e0 = jnp.zeros_like(mover_is_0)
-        joined_e1 = jnp.zeros_like(mover_is_0)
+        match = jnp.zeros(shape, jnp.int32)
+        joined_e0 = jnp.zeros(c.shape, jnp.int32)
+        joined_e1 = jnp.zeros(c.shape, jnp.int32)
 
         def one_slot(slot_id, slot_valid, is_virtual, match, j0, j1):
             oh = lane == slot_id
             slot_label = jnp.sum(jnp.where(oh, labels, 0), axis=1, keepdims=True)
             occ = jnp.sum((oh & stones_s).astype(jnp.int32), axis=1, keepdims=True) > 0
             eligible = slot_valid & (occ | is_virtual)
-            match = match | ((labels == slot_label) & eligible)
-            j0 = j0 | (eligible & (slot_label == label_e0))
-            j1 = j1 | (eligible & (slot_label == label_e1))
+            match = match | ((labels == slot_label) & eligible).astype(jnp.int32)
+            j0 = j0 | (eligible & (slot_label == label_e0)).astype(jnp.int32)
+            j1 = j1 | (eligible & (slot_label == label_e1)).astype(jnp.int32)
             return match, j0, j1
 
         for off, v in zip(offs, valids):
             sid = jnp.clip(c + off, 0, L - 1)
             match, joined_e0, joined_e1 = one_slot(sid, v, False, match, joined_e0, joined_e1)
-        v_e0 = jnp.where(mover_is_0, y == 0, x == 0)
-        v_e1 = jnp.where(mover_is_0, y == n - 1, x == n - 1)
+        v_e0 = (mover_is_0 & (y == 0)) | (~mover_is_0 & (x == 0))
+        v_e1 = (mover_is_0 & (y == n - 1)) | (~mover_is_0 & (x == n - 1))
         match, joined_e0, joined_e1 = one_slot(e0, v_e0, True, match, joined_e0, joined_e1)
         match, joined_e0, joined_e1 = one_slot(e1, v_e1, True, match, joined_e0, joined_e1)
 
-        labels = jnp.where(match, c, labels)
+        labels = jnp.where(match > 0, c, labels)
 
         new_empty = empty - 1
-        win = joined_e0 & joined_e1
-        done = win | (new_empty <= 0)
+        done = ((joined_e0 & joined_e1) > 0) | (new_empty <= 0)
 
         # --- auto-reset finished games -----------------------------------
-        s0_out = jnp.where(done, False, new_s0)
-        s1_out = jnp.where(done, False, new_s1)
+        s0_out = jnp.where(done, jnp.int32(0), new_s0)
+        s1_out = jnp.where(done, jnp.int32(0), new_s1)
         labels = jnp.where(done, id_labels, labels)
         s_out = jnp.where(done, 0, 1 - s)
         empty_out = jnp.where(done, num_cells, new_empty)
@@ -368,7 +380,12 @@ def random_rollout(
         _random_rollout_kernel, topo.n, L, n_steps, not interpret
     )
     in_specs = [row_spec(L), row_spec(L), row_spec(L), row_spec(META_WIDTH)]
-    inputs = [state.stones[:, 0], state.stones[:, 1], state.labels, meta]
+    inputs = [
+        state.stones[:, 0].astype(jnp.int32),
+        state.stones[:, 1].astype(jnp.int32),
+        state.labels,
+        meta,
+    ]
     if interpret:
         bits = jax.random.bits(
             jax.random.key(seed), (n_steps, B, L), jnp.uint32
@@ -390,8 +407,8 @@ def random_rollout(
         ),
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((B, L), jnp.bool_),
-        jax.ShapeDtypeStruct((B, L), jnp.bool_),
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
         jax.ShapeDtypeStruct((B, L), jnp.int32),
         jax.ShapeDtypeStruct((B, META_WIDTH), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -404,7 +421,7 @@ def random_rollout(
     )(seed_arr, *inputs)
 
     new_state = HexState(
-        stones=jnp.stack([s0, s1], axis=1),
+        stones=jnp.stack([s0 != 0, s1 != 0], axis=1),
         labels=labels,
         to_move=meta_new[:, META_TO_MOVE],
         done=meta_new[:, META_DONE] != 0,

@@ -19,7 +19,15 @@ import sys
 sys.path.insert(0, ".")  # repo-root execution
 
 
+def _enable_compile_cache() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main() -> None:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--experiment", default="7x7_MLP-default_lr-0.0003")
     ap.add_argument("--list", action="store_true", help="list presets and exit")
