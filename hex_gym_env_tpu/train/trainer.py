@@ -28,7 +28,9 @@ class Trainer:
         self.cfg = cfg
         self.algo = SelfplayPPO(cfg)
         self.logger = logger or MetricsLogger(cfg.log_dir, cfg.model_name)
-        self.train_step = jax.jit(self.algo.train_step)
+        # Donating the train state halves HBM churn; the old state is never
+        # reused (timesteps are tracked host-side deterministically).
+        self.train_step = jax.jit(self.algo.train_step, donate_argnums=0)
         self.eval_step = jax.jit(self.algo.eval_step)
         self._ckpt: Optional[ckpt_lib.CheckpointManager] = None
 
@@ -51,19 +53,25 @@ class Trainer:
         cfg = self.cfg
         state = self.init_state() if state is None else state
         per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
+        t_start = time.perf_counter()
+        steps_start = int(state.timesteps)  # one blocking fetch, at startup
+
+        # ``state.timesteps`` advances by exactly ``per_iter`` per train_step,
+        # so eval/checkpoint cadence and the loop condition run on a host-side
+        # counter — no device round trip on the control path.  Metric scalars
+        # are fetched one iteration late: the fetch of iteration k overlaps
+        # the device executing iteration k+1 (over the tunnel, a blocking
+        # per-iteration round trip would otherwise serialize with compute).
+        steps = steps_start
         next_eval = cfg.selfplay.eval_freq
         next_ckpt = cfg.checkpoint_every
-        t_start = time.perf_counter()
-        steps_start = int(state.timesteps)
+        pending = None  # (steps_k, metrics_k, eval_result_k or None)
+        t_prev = time.perf_counter()
 
-        while int(state.timesteps) < cfg.total_timesteps:
-            t0 = time.perf_counter()
-            state, metrics = self.train_step(state)
-            # one host<->device round trip for all per-iteration scalars
-            steps, m = jax.device_get((state.timesteps, metrics))
-            steps = int(steps)
-            dt = time.perf_counter() - t0
-
+        def flush_pending(pending, t_prev):
+            p_steps, p_metrics, p_result = pending
+            m = jax.device_get(p_metrics)  # waits for iteration k only
+            now = time.perf_counter()
             scalars = {
                 "rollout/ep_rew_mean": float(m.mean_episode_reward),
                 "rollout/episodes": float(m.episodes_finished),
@@ -72,13 +80,10 @@ class Trainer:
                 "train/entropy": float(m.ppo.entropy),
                 "train/approx_kl": float(m.ppo.approx_kl),
                 "train/clip_frac": float(m.ppo.clip_frac),
-                "perf/steps_per_s": per_iter / dt,
+                "perf/steps_per_s": per_iter / max(now - t_prev, 1e-9),
             }
-
-            if steps >= next_eval:
-                state, result = self.eval_step(state)
-                next_eval = steps + cfg.selfplay.eval_freq
-                r = jax.device_get(result)
+            if p_result is not None:
+                r = jax.device_get(p_result)
                 scalars.update(
                     {
                         "eval/mean_reward": float(r.mean_reward),
@@ -87,8 +92,21 @@ class Trainer:
                         "eval/best_score": float(r.best_score),
                     }
                 )
+            self.logger.log(p_steps, scalars)
+            return now
 
-            self.logger.log(steps, scalars)
+        while steps < cfg.total_timesteps:
+            state, metrics = self.train_step(state)  # async dispatch
+            steps += per_iter
+
+            result = None
+            if steps >= next_eval:
+                state, result = self.eval_step(state)
+                next_eval = steps + cfg.selfplay.eval_freq
+
+            if pending is not None:
+                t_prev = flush_pending(pending, t_prev)
+            pending = (steps, metrics, result)
 
             if steps >= next_ckpt:
                 self._ckpt_mgr().save(steps, state)
@@ -103,6 +121,8 @@ class Trainer:
                 )
                 next_ckpt = steps + cfg.checkpoint_every
 
+        if pending is not None:
+            flush_pending(pending, t_prev)
         wall = time.perf_counter() - t_start
         total = int(state.timesteps) - steps_start
         self.logger.log(

@@ -75,7 +75,7 @@ def main() -> None:
         mesh = make_mesh()
         trainer = Trainer(cfg)
         trainer.algo = DistributedSelfplayPPO(cfg, mesh)
-        trainer.train_step = jax.jit(trainer.algo.train_step)
+        trainer.train_step = jax.jit(trainer.algo.train_step, donate_argnums=0)
         trainer.eval_step = jax.jit(trainer.algo.eval_step)
         state = (
             trainer.algo.shard_state(trainer.resume())

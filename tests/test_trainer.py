@@ -1,0 +1,63 @@
+"""Trainer loop: pipelined logging, eval/checkpoint cadence, resume."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from hex_gym_env_tpu.train.trainer import Trainer
+from hex_gym_env_tpu.utils.config import PPOConfig, SelfplayConfig, TrainConfig
+from hex_gym_env_tpu.utils.metrics import MetricsLogger
+
+
+def _cfg(tmp_path, total=4 * 16 * 8, ckpt_every=10_000_000):
+    return TrainConfig(
+        ppo=PPOConfig(n_steps=8, minibatch_size=32, n_epochs=2),
+        selfplay=SelfplayConfig(
+            board_size=4, n_envs=16, buffer_size=2, eval_freq=256,
+            n_eval_episodes=2,
+        ),
+        total_timesteps=total,
+        model_name="trainer_test",
+        checkpoint_every=ckpt_every,
+        log_dir=str(tmp_path / "log"),
+        model_dir=str(tmp_path / "models"),
+    )
+
+
+def test_fit_logs_every_iteration_and_evals_on_cadence(tmp_path):
+    cfg = _cfg(tmp_path)  # 4 iterations of 128 transitions
+    trainer = Trainer(cfg)
+    state = trainer.fit()
+    assert int(state.timesteps) == cfg.total_timesteps
+
+    path = os.path.join(cfg.log_dir, cfg.model_name, "metrics.jsonl")
+    recs = [json.loads(l) for l in open(path)]
+    train_recs = [r for r in recs if "rollout/ep_rew_mean" in r]
+    # one record per train iteration, in step order, none dropped by pipelining
+    assert [r["step"] for r in train_recs] == [128, 256, 384, 512]
+    # eval cadence: eval_freq=256 -> evals land at steps 256 and 512
+    eval_steps = [r["step"] for r in train_recs if "eval/mean_reward" in r]
+    assert eval_steps == [256, 512]
+    for r in train_recs:
+        assert np.isfinite(r["train/policy_loss"])
+
+
+def test_fit_checkpoints_and_resumes(tmp_path):
+    cfg = _cfg(tmp_path, total=2 * 16 * 8, ckpt_every=128)
+    trainer = Trainer(cfg)
+    trainer.fit()
+    ckpt_dir = os.path.join(cfg.model_dir, cfg.model_name)
+    assert os.path.isdir(ckpt_dir)
+    assert trainer._ckpt_mgr().latest_step() == 256
+
+    # resume continues from the checkpointed timestep counter
+    cfg2 = dataclasses.replace(cfg, total_timesteps=3 * 16 * 8)
+    trainer2 = Trainer(
+        cfg2, logger=MetricsLogger(cfg2.log_dir, cfg2.model_name)
+    )
+    state = trainer2.resume()
+    assert int(state.timesteps) == 256
+    state = trainer2.fit(state)
+    assert int(state.timesteps) == 384
