@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--n-steps", type=int, default=None)
     ap.add_argument("--minibatch-size", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--learning-rate", type=float, default=None)
+    ap.add_argument("--eval-freq", type=int, default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--multichip", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -63,6 +66,12 @@ def main() -> None:
         overrides["minibatch_size"] = args.minibatch_size
     if args.seed is not None:
         overrides["seed"] = args.seed
+    if args.learning_rate is not None:
+        overrides["learning_rate"] = args.learning_rate
+    if args.eval_freq is not None:
+        overrides["eval_freq"] = args.eval_freq
+    if args.checkpoint_every is not None:
+        overrides["checkpoint_every"] = args.checkpoint_every
     cfg = get_config(args.experiment, **overrides)
 
     import jax
