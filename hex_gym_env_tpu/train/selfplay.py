@@ -116,6 +116,40 @@ class SelfplayPPO:
         )
         return new_state, TrainMetrics(mean_ep_reward, finished, stats)
 
+    def train_steps(self, state: TrainState, k: int):
+        """``k`` full PPO iterations fused into one XLA program.
+
+        Over a tunneled/remote device the per-dispatch host round trip
+        (~tens of ms) dwarfs the device time of one iteration at small
+        rollout sizes; scanning ``k`` iterations amortizes it.  Returns the
+        final state plus per-iteration metrics stacked on a leading (k,)
+        axis, so logging fidelity is unchanged.
+        """
+
+        def body(s, _):
+            s, m = self.train_step(s)
+            return s, m
+
+        return jax.lax.scan(body, state, None, length=k)
+
+    def train_and_eval_steps(self, state: TrainState, k: int):
+        """``k`` iterations of (PPO update + eval/pool-update), one program.
+
+        The fused TPU-native training driver: the eval pass and opponent-pool
+        mutation (the reference's ``SelfPlayCallback``) run on device after
+        every PPO iteration, so the pool curriculum advances at full rate
+        while the host pays ONE dispatch per ``k`` iterations.  Returns the
+        final state plus per-iteration (TrainMetrics, EvalResult) stacked on
+        a leading (k,) axis.
+        """
+
+        def body(s, _):
+            s, m = self.train_step(s)
+            s, r = self.eval_step(s)
+            return s, (m, r)
+
+        return jax.lax.scan(body, state, None, length=k)
+
     # -- eval + pool update ------------------------------------------------
 
     def eval_step(self, state: TrainState):

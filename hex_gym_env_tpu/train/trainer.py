@@ -32,6 +32,9 @@ class Trainer:
         # reused (timesteps are tracked host-side deterministically).
         self.train_step = jax.jit(self.algo.train_step, donate_argnums=0)
         self.eval_step = jax.jit(self.algo.eval_step)
+        self.train_span = jax.jit(
+            self.algo.train_and_eval_steps, static_argnums=1, donate_argnums=0
+        )
         self._ckpt: Optional[ckpt_lib.CheckpointManager] = None
 
     def _ckpt_mgr(self) -> ckpt_lib.CheckpointManager:
@@ -50,6 +53,8 @@ class Trainer:
         return self._ckpt_mgr().restore(template)
 
     def fit(self, state: Optional[TrainState] = None) -> TrainState:
+        if self.cfg.iters_per_dispatch > 1:
+            return self.fit_fused(state)
         cfg = self.cfg
         state = self.init_state() if state is None else state
         per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
@@ -112,6 +117,80 @@ class Trainer:
                 self._ckpt_mgr().save(steps, state)
                 # the reference also snapshots its best pool model every
                 # checkpoint period (EvaluationCallback.py:53-55)
+                best_score = float(state.bank.best_score)
+                ckpt_lib.save_params(
+                    os.path.join(
+                        cfg.model_dir, cfg.model_name, f"best_{best_score:.4f}"
+                    ),
+                    state.bank.best_params,
+                )
+                next_ckpt = steps + cfg.checkpoint_every
+
+        if pending is not None:
+            flush_pending(pending, t_prev)
+        wall = time.perf_counter() - t_start
+        total = int(state.timesteps) - steps_start
+        self.logger.log(
+            int(state.timesteps),
+            {"perf/total_steps_per_s": total / max(wall, 1e-9)},
+        )
+        return state
+
+    def fit_fused(self, state: Optional[TrainState] = None) -> TrainState:
+        """Superstep driver: ``iters_per_dispatch`` fused (train + eval)
+        iterations per host dispatch (``SelfplayPPO.train_and_eval_steps``).
+
+        Per-iteration logging fidelity is preserved — every iteration's train
+        metrics AND eval/pool-update result come back stacked and are written
+        as individual records.  Checkpoints land between supersteps.
+        """
+        cfg = self.cfg
+        state = self.init_state() if state is None else state
+        per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
+        k = cfg.iters_per_dispatch
+        t_start = time.perf_counter()
+        steps_start = int(state.timesteps)
+
+        steps = steps_start
+        next_ckpt = cfg.checkpoint_every
+        pending = None  # (first_step, metrics(k,...), results(k,...))
+        t_prev = time.perf_counter()
+
+        def flush_pending(pending, t_prev):
+            first_step, p_metrics, p_results = pending
+            m, r = jax.device_get((p_metrics, p_results))
+            now = time.perf_counter()
+            dt_iter = max(now - t_prev, 1e-9) / k
+            for i in range(k):
+                self.logger.log(
+                    first_step + i * per_iter,
+                    {
+                        "rollout/ep_rew_mean": float(m.mean_episode_reward[i]),
+                        "rollout/episodes": float(m.episodes_finished[i]),
+                        "train/policy_loss": float(m.ppo.policy_loss[i]),
+                        "train/value_loss": float(m.ppo.value_loss[i]),
+                        "train/entropy": float(m.ppo.entropy[i]),
+                        "train/approx_kl": float(m.ppo.approx_kl[i]),
+                        "train/clip_frac": float(m.ppo.clip_frac[i]),
+                        "perf/steps_per_s": per_iter / dt_iter,
+                        "eval/mean_reward": float(r.mean_reward[i]),
+                        "eval/score": float(r.score[i]),
+                        "eval/replaced": float(r.replaced[i]),
+                        "eval/best_score": float(r.best_score[i]),
+                    },
+                )
+            return now
+
+        while steps < cfg.total_timesteps:
+            state, (metrics, results) = self.train_span(state, k)
+            steps += k * per_iter
+
+            if pending is not None:
+                t_prev = flush_pending(pending, t_prev)
+            pending = (steps - (k - 1) * per_iter, metrics, results)
+
+            if steps >= next_ckpt:
+                self._ckpt_mgr().save(steps, state)
                 best_score = float(state.bank.best_score)
                 ckpt_lib.save_params(
                     os.path.join(

@@ -72,3 +72,9 @@ class TrainConfig:
     checkpoint_every: int = 1_000_000  # agent transitions (EvaluationCallback.py:53-55)
     log_dir: str = "log"
     model_dir: str = "models"
+    # >1 fuses this many (train + eval/pool-update) iterations into ONE
+    # device program per host dispatch (Trainer "superstep") — the remedy for
+    # dispatch-latency-bound training over a tunneled chip.  1 keeps the
+    # reference's host-driven cadence: eval only every ``eval_freq``
+    # transitions.
+    iters_per_dispatch: int = 1

@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--learning-rate", type=float, default=None)
     ap.add_argument("--eval-freq", type=int, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=None)
+    ap.add_argument("--iters-per-dispatch", type=int, default=None,
+                    help=">1 fuses this many train+eval iterations per "
+                         "device dispatch (fast over a tunneled chip)")
     ap.add_argument("--multichip", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -72,6 +75,8 @@ def main() -> None:
         overrides["eval_freq"] = args.eval_freq
     if args.checkpoint_every is not None:
         overrides["checkpoint_every"] = args.checkpoint_every
+    if args.iters_per_dispatch is not None:
+        overrides["iters_per_dispatch"] = args.iters_per_dispatch
     cfg = get_config(args.experiment, **overrides)
 
     import jax

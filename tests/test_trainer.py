@@ -44,6 +44,25 @@ def test_fit_logs_every_iteration_and_evals_on_cadence(tmp_path):
         assert np.isfinite(r["train/policy_loss"])
 
 
+def test_fit_fused_supersteps_log_every_iteration(tmp_path):
+    # 2 supersteps x 3 iterations x 128 transitions
+    cfg = dataclasses.replace(
+        _cfg(tmp_path, total=6 * 16 * 8), model_name="fused_test",
+        iters_per_dispatch=3,
+    )
+    trainer = Trainer(cfg)
+    state = trainer.fit()
+    assert int(state.timesteps) == cfg.total_timesteps
+
+    path = os.path.join(cfg.log_dir, cfg.model_name, "metrics.jsonl")
+    recs = [json.loads(l) for l in open(path)]
+    train_recs = [r for r in recs if "rollout/ep_rew_mean" in r]
+    assert [r["step"] for r in train_recs] == [128 * i for i in range(1, 7)]
+    # fused mode evals (and may mutate the pool) every iteration
+    assert all("eval/mean_reward" in r for r in train_recs)
+    assert all(np.isfinite(r["eval/score"]) for r in train_recs)
+
+
 def test_fit_checkpoints_and_resumes(tmp_path):
     cfg = _cfg(tmp_path, total=2 * 16 * 8, ckpt_every=128)
     trainer = Trainer(cfg)
