@@ -47,6 +47,9 @@ class Evaluator:
         self.topo = topo
         self.model = model
         self.cfg = cfg
+        from hex_gym_env_tpu.train.rollout import resolve_step_impl
+
+        self.step = resolve_step_impl(cfg.env_step_impl)
 
     def _opponent_logits(self, bank: OpponentBank, state) -> jnp.ndarray:
         """Member i plays env i: paired vmap over (snapshot_i, obs_i)."""
@@ -72,7 +75,7 @@ class Evaluator:
             logits = self._opponent_logits(bank, st)
             legal = hex_env.legal_mask(topo, st)
             a = masked.sample(k, logits, legal)
-            return hex_env.step(topo, st, a, active=active)
+            return self.step(topo, st, a, active=active)
 
         # opponent opens where it holds seat 0
         state, _ = opponent_move(state, k_first, active=seat == 1)
@@ -83,7 +86,7 @@ class Evaluator:
             legal = hex_env.legal_mask(topo, st)
             logits, _ = self.model.apply(params, obs)
             a = masked.mode(logits, legal)  # deterministic agent
-            st, rew1 = hex_env.step(topo, st, a)
+            st, rew1 = self.step(topo, st, a)
             st, rew2 = opponent_move(st, k, active=~st.done)
             seat_col = seat[:, None]
             got = (

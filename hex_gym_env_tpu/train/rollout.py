@@ -39,6 +39,22 @@ from hex_gym_env_tpu.train.bank import OpponentBank, sample_opponents
 from hex_gym_env_tpu.utils.config import SelfplayConfig
 
 
+def resolve_step_impl(impl: str):
+    """Pick the env-step backend for in-scan stepping.
+
+    The fused Pallas kernel (``ops/pallas_step.py``) collapses the couple
+    dozen XLA micro-kernels of one lax env step into one launch — inside a
+    T-step rollout scan with 3 env steps per body that is the difference
+    between ~100 and ~3 kernel launches per transition.  Semantics are
+    bit-identical (asserted on hardware by ``tests/test_pallas_step.py``).
+    """
+    if impl == "lax" or (impl == "auto" and jax.default_backend() != "tpu"):
+        return hex_env.step
+    from hex_gym_env_tpu.ops import pallas_step
+
+    return pallas_step.step
+
+
 class Transition(NamedTuple):
     """One agent transition per env (stacked to (T, ...) by the scan)."""
 
@@ -66,6 +82,7 @@ class SelfplayRunner:
         self.topo = topo
         self.model = model
         self.cfg = cfg
+        self.step = resolve_step_impl(cfg.env_step_impl)
 
     # -- helpers -----------------------------------------------------------
 
@@ -104,9 +121,27 @@ class SelfplayRunner:
         ``OpponentPolicy.choose_action`` (``SelfplayWrapper.py:30-32``)."""
         logits, legal = self.opponent_logits(bank, use_best, opp_idx, state)
         action = masked.sample(key, logits, legal)
-        return hex_env.step(self.topo, state, action, active=active)
+        return self.step(self.topo, state, action, active=active)
 
-    def reset_finished(self, carry: RolloutCarry, bank: OpponentBank, key: jax.Array):
+    def first_move_logits(self, bank: OpponentBank):
+        """Every pool member's logits on the empty board, (P, A) and (A,).
+
+        With ``sample_board=False`` a freshly reset board is empty, so the
+        opponent's opening-move logits are a constant of its parameters —
+        computed ONCE per rollout instead of running the full bank forward
+        inside every scan step (the bank pass over tiny GEMMs is the rollout
+        hot spot).  Bitwise-identical to the in-loop inference it replaces.
+        """
+        n = self.topo.n
+        empty = jnp.zeros((1, n, n), jnp.float32)
+        members = jax.vmap(lambda v: self.model.apply(v, empty)[0][0])(bank.params)
+        best = self.model.apply(bank.best_params, empty)[0][0]
+        return members, best
+
+    def reset_finished(
+        self, carry: RolloutCarry, bank: OpponentBank, key: jax.Array,
+        first_logits=None,
+    ):
         """Auto-reset done games + seat/opponent redraw + opponent first move."""
         cfg = self.cfg
         m = carry.env.done
@@ -126,9 +161,19 @@ class SelfplayRunner:
 
         # Where the opponent holds seat 0 it opens the fresh game
         # (SelfplayWrapper.py:79-81; the returned reward is discarded there too).
-        st, _ = self.opponent_move(
-            bank, use_best, opp_idx, st, k_move, active=m & (seat == 1)
-        )
+        active = m & (seat == 1)
+        if first_logits is not None and not cfg.sample_board:
+            members, best_l = first_logits
+            logits = jnp.where(
+                use_best[:, None], best_l[None, :], members[opp_idx]
+            )
+            # every cell of the empty board is legal; inactive rows' samples
+            # are discarded by the step's ``active`` mask
+            legal = jnp.ones((cfg.n_envs, self.topo.num_cells), bool)
+            action = masked.sample(k_move, logits, legal)
+            st, _ = self.step(self.topo, st, action, active=active)
+        else:
+            st, _ = self.opponent_move(bank, use_best, opp_idx, st, k_move, active=active)
         return RolloutCarry(env=st, agent_seat=seat, use_best=use_best, opp_idx=opp_idx)
 
     # -- entry points ------------------------------------------------------
@@ -151,12 +196,14 @@ class SelfplayRunner:
         Returns (carry', transitions (T, ...), last_values (B,)).
         """
 
+        first_logits = None if self.cfg.sample_board else self.first_move_logits(bank)
+
         def body(c: RolloutCarry, k):
             k_agent, k_opp, k_reset = jax.random.split(k, 3)
 
             obs, legal, logits, value = self.policy_logits_value(params, c.env)
             action, log_prob = masked.sample_with_info(k_agent, logits, legal)
-            st1, rew1 = hex_env.step(self.topo, c.env, action)
+            st1, rew1 = self.step(self.topo, c.env, action)
             seat_col = c.agent_seat[:, None]
             r_agent = jnp.take_along_axis(rew1, seat_col, axis=1)[:, 0]
 
@@ -167,7 +214,8 @@ class SelfplayRunner:
             done = st2.done
 
             c2 = self.reset_finished(
-                RolloutCarry(st2, c.agent_seat, c.use_best, c.opp_idx), bank, k_reset
+                RolloutCarry(st2, c.agent_seat, c.use_best, c.opp_idx), bank,
+                k_reset, first_logits=first_logits,
             )
             t = Transition(
                 obs=obs.astype(jnp.int8),

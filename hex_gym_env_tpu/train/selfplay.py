@@ -69,6 +69,40 @@ class SelfplayPPO:
             timesteps=jnp.zeros((), jnp.int32),
         )
 
+    def seed_bank(
+        self,
+        state: TrainState,
+        seeds: list,
+        score: float = 1.0,
+        as_best: bool = True,
+        pin_best: bool = True,
+    ) -> TrainState:
+        """Plant parameter snapshots into the opponent pool before training.
+
+        The reference's legacy outer loop seeds selfplay from loaded
+        checkpoints (``scripts/selfplay.py:35,59-92`` builds the opponent
+        history starting from ``MaskablePPO.load``); this is the equivalent
+        for the pool protocol.  ``seeds`` is a list of full variables dicts
+        (see ``models/loading.py``).  Seeded slots get ``score`` (high scores
+        make them sticky, since replacement targets argmin-score slots).
+        ``as_best`` installs ``seeds[0]`` as the designated best opponent;
+        ``pin_best`` sets ``best_score = score`` so promotion requires
+        actually out-scoring the seed.
+        """
+        bank = state.bank
+        stack = bank.params
+        scores = bank.scores
+        for i, sd in enumerate(seeds):
+            stack = jax.tree.map(lambda s, n: s.at[i].set(n), stack, sd)
+            scores = scores.at[i].set(score)
+        best = seeds[0] if as_best else bank.best_params
+        best_score = jnp.asarray(score if (as_best and pin_best) else bank.best_score, jnp.float32)
+        return state.replace(
+            bank=OpponentBank(
+                params=stack, scores=scores, best_params=best, best_score=best_score
+            )
+        )
+
     # -- one fused PPO iteration ------------------------------------------
 
     def train_step(self, state: TrainState) -> tuple[TrainState, TrainMetrics]:

@@ -58,6 +58,9 @@ class SelfplayConfig:
     sample_board: bool = False
     seat_mode: str = "per_episode"  # "per_episode" | "fixed_random"
     policy: str = "MLP-default"
+    # env-step backend inside rollout/eval scans: "auto" picks the fused
+    # Pallas kernel on TPU and the composable lax path elsewhere
+    env_step_impl: str = "auto"  # "auto" | "lax" | "pallas"
     eval_freq: int = 1000  # agent transitions between evals (per reference script)
     n_eval_episodes: int = 20  # = buffer_size in every reference experiment
     seed: int = 0

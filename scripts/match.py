@@ -20,35 +20,33 @@ sys.path.insert(0, ".")
 
 
 def load_policy(spec: str, n: int):
-    import jax
-    import jax.numpy as jnp
+    from hex_gym_env_tpu.models.loading import load_policy_params
 
-    from hex_gym_env_tpu.models import MlpPolicy
-
-    model = MlpPolicy(n_actions=n * n)
-    template = model.init(jax.random.key(0), jnp.zeros((1, n, n), jnp.float32))
-    if spec == "random":
-        return model, jax.tree.map(jnp.zeros_like, template)
-    kind, _, path = spec.partition(":")
-    if kind == "sb3":
-        from hex_gym_env_tpu.models.sb3_import import sb3_to_mlp_params
-
-        return model, sb3_to_mlp_params(path)
-    if kind == "orbax":
-        from hex_gym_env_tpu.utils.checkpoint import load_params
-
-        return model, load_params(path, template)
-    raise ValueError(f"unknown policy spec: {spec}")
+    return load_policy_params(spec, n)
 
 
 def run_match(board_size: int, games: int, spec_a: str, spec_b: str,
-              seed: int = 0, stochastic: bool = True) -> dict:
+              seed: int = 0, stochastic: bool = True,
+              mode: str = None) -> dict:
+    """``mode`` selects per-side play style:
+
+    - "stochastic" (default) / "deterministic": both sides alike —
+      note that both-deterministic collapses to 2 distinct games;
+    - "a-det" / "b-det": one side argmax, the other samples — the
+      reference's own eval protocol (SB3 ``evaluate_policy`` plays the agent
+      deterministically against stochastic pool opponents).
+    """
     import jax
     import jax.numpy as jnp
 
     from hex_gym_env_tpu.core import env as hex_env
     from hex_gym_env_tpu.core.topology import get_topology
     from hex_gym_env_tpu.ops import masked
+
+    if mode is None:
+        mode = "stochastic" if stochastic else "deterministic"
+    a_det = mode in ("deterministic", "a-det")
+    b_det = mode in ("deterministic", "b-det")
 
     topo = get_topology(board_size)
     model_a, params_a = load_policy(spec_a, board_size)
@@ -73,8 +71,8 @@ def run_match(board_size: int, games: int, spec_a: str, spec_b: str,
         def half_move(st, key):
             """one ply: whoever is to move acts with their own policy"""
             ka, kb = jax.random.split(key)
-            a_act = pick_action(model_a, params_a, st, ka, not stochastic)
-            b_act = pick_action(model_b, params_b, st, kb, not stochastic)
+            a_act = pick_action(model_a, params_a, st, ka, a_det)
+            b_act = pick_action(model_b, params_b, st, kb, b_det)
             a_turn = st.to_move == seat_a
             action = jnp.where(a_turn, a_act, b_act)
             st, _ = hex_env.step(topo, st, action)
@@ -91,6 +89,7 @@ def run_match(board_size: int, games: int, spec_a: str, spec_b: str,
     b_wins = int((winners == 1 - np.asarray(seat_a)).sum())
     return {
         "games": games,
+        "mode": mode,
         "a": spec_a,
         "b": spec_b,
         "a_winrate": a_wins / games,
@@ -109,6 +108,8 @@ def main() -> None:
     ap.add_argument("--b", default="random")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--deterministic", action="store_true")
+    ap.add_argument("--mode", default=None,
+                    choices=["stochastic", "deterministic", "a-det", "b-det"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -118,6 +119,7 @@ def main() -> None:
     out = run_match(
         args.board_size, args.games, args.a, args.b,
         seed=args.seed, stochastic=not args.deterministic,
+        mode=args.mode,
     )
     print(json.dumps(out))
 

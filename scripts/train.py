@@ -42,6 +42,14 @@ def main() -> None:
     ap.add_argument("--iters-per-dispatch", type=int, default=None,
                     help=">1 fuses this many train+eval iterations per "
                          "device dispatch (fast over a tunneled chip)")
+    ap.add_argument("--env-step-impl", choices=["auto", "lax", "pallas"],
+                    default=None)
+    ap.add_argument("--model-name", default=None,
+                    help="override the run/checkpoint directory name")
+    ap.add_argument("--seed-pool", default=None,
+                    help="comma list of policy specs (random|sb3:zip|orbax:dir) "
+                         "planted into the opponent pool; the first becomes "
+                         "the designated best opponent")
     ap.add_argument("--multichip", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -77,6 +85,10 @@ def main() -> None:
         overrides["checkpoint_every"] = args.checkpoint_every
     if args.iters_per_dispatch is not None:
         overrides["iters_per_dispatch"] = args.iters_per_dispatch
+    if args.env_step_impl is not None:
+        overrides["env_step_impl"] = args.env_step_impl
+    if args.model_name is not None:
+        overrides["model_name"] = args.model_name
     cfg = get_config(args.experiment, **overrides)
 
     import jax
@@ -91,6 +103,9 @@ def main() -> None:
         trainer.algo = DistributedSelfplayPPO(cfg, mesh)
         trainer.train_step = jax.jit(trainer.algo.train_step, donate_argnums=0)
         trainer.eval_step = jax.jit(trainer.algo.eval_step)
+        trainer.train_span = jax.jit(
+            trainer.algo.train_and_eval_steps, static_argnums=1, donate_argnums=0
+        )
         state = (
             trainer.algo.shard_state(trainer.resume())
             if args.resume
@@ -99,6 +114,19 @@ def main() -> None:
     else:
         trainer = Trainer(cfg)
         state = trainer.resume() if args.resume else None
+
+    if args.seed_pool:
+        from hex_gym_env_tpu.models.loading import load_policy_params
+
+        seeds = [
+            load_policy_params(s, cfg.selfplay.board_size, trainer.algo.model)[1]
+            for s in args.seed_pool.split(",")
+        ]
+        if state is None:
+            state = trainer.init_state()
+        state = trainer.algo.seed_bank(state, seeds)
+        if args.multichip:
+            state = trainer.algo.shard_state(state)
 
     print(f"training {cfg.model_name}: {cfg.total_timesteps} transitions "
           f"on {len(jax.devices())} device(s)")

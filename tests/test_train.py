@@ -135,6 +135,49 @@ def test_rollout_invariants():
     assert np.isfinite(np.asarray(last_values)).all()
 
 
+def test_first_move_precompute_is_bitwise_identical():
+    """The precomputed empty-board opening logits must reproduce the inline
+    bank inference exactly (same transitions, same carry)."""
+    cfg = _small_cfg()
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+
+    run_fast = jax.jit(lambda p, b, c, k: algo.runner.run(p, b, c, k, 32))
+
+    inline = SelfplayRunner(algo.topo, algo.model, cfg.selfplay)
+    inline.first_move_logits = lambda bank: None  # force the inline path
+    run_inline = jax.jit(lambda p, b, c, k: inline.run(p, b, c, k, 32))
+
+    args = (state.params, state.bank, state.carry, jax.random.key(7))
+    c1, t1, v1 = run_fast(*args)
+    c2, t2, v2 = run_inline(*args)
+    for a, b in zip(jax.tree.leaves((c1, t1, v1)), jax.tree.leaves((c2, t2, v2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_seed_bank_plants_opponents():
+    cfg = _small_cfg()
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    seed_vars = algo.model.init(
+        jax.random.key(99), jnp.zeros((1, algo.topo.n, algo.topo.n), jnp.float32)
+    )
+    state = algo.seed_bank(state, [seed_vars], score=1.0)
+
+    # slot 0 carries the seed, best is pinned to it
+    leaf = jax.tree.leaves(seed_vars)[0]
+    bank_leaf = jax.tree.leaves(state.bank.params)[0]
+    np.testing.assert_array_equal(np.asarray(bank_leaf[0]), np.asarray(leaf))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.bank.best_params)[0]), np.asarray(leaf)
+    )
+    assert float(state.bank.scores[0]) == 1.0
+    assert float(state.bank.best_score) == 1.0
+    # training still runs from the seeded state
+    state2, metrics = jax.jit(algo.train_step)(state)
+    assert np.isfinite(float(metrics.ppo.policy_loss))
+
+
 def test_rollout_seat_balance():
     cfg = _small_cfg(selfplay=dict(n_envs=256))
     algo = SelfplayPPO(cfg)
