@@ -38,6 +38,14 @@ REPEATS = 5
 TARGET = 10_000_000.0
 
 
+def drain(x) -> None:
+    """Force completion: ``block_until_ready`` alone can return early on the
+    tunneled-TPU backend, which would inflate the rate; fetching one element
+    guarantees the queue has fully executed."""
+    jax.block_until_ready(x)
+    jax.device_get(jax.tree.leaves(x)[0].ravel()[:1])
+
+
 def bench_lax(topo) -> float:
     fresh = hex_env.initial_state(topo, BATCH)
 
@@ -58,12 +66,12 @@ def bench_lax(topo) -> float:
 
     state = hex_env.initial_state(topo, BATCH)
     state = run(state, jax.random.key(0))
-    jax.block_until_ready(state)
+    drain(state)
 
     t0 = time.perf_counter()
     for i in range(REPEATS):
         state = run(state, jax.random.key(i + 1))
-    jax.block_until_ready(state)
+    drain(state)
     dt = time.perf_counter() - t0
     return REPEATS * STEPS_PER_CALL * BATCH / dt
 
@@ -74,14 +82,14 @@ def bench_pallas(topo) -> float:
     )
     state = hex_env.initial_state(topo, BATCH)
     state, games = run(state, 0)
-    jax.block_until_ready(state)
+    drain(state)
     if int(games.sum()) <= 0:
         raise RuntimeError("fused rollout finished no games — refusing to report")
 
     t0 = time.perf_counter()
     for i in range(REPEATS):
         state, games = run(state, i + 1)
-    jax.block_until_ready(state)
+    drain(state)
     dt = time.perf_counter() - t0
     return REPEATS * STEPS_PER_CALL * BATCH / dt
 

@@ -15,16 +15,34 @@ from typing import Callable, Iterator
 import jax
 
 
+def _drain(out) -> None:
+    """Wait until ``out`` is actually computed.
+
+    ``jax.block_until_ready`` alone is not trustworthy on every backend (the
+    tunneled-TPU plugin returns early from it); fetching one element forces a
+    true round trip through the result.
+    """
+    jax.block_until_ready(out)
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
+    if leaves:
+        jax.device_get(leaves[0].ravel()[:1])
+
+
 def time_fn(fn: Callable, *args, warmup: int = 1, repeats: int = 5) -> dict:
-    """Steady-state timing of a jitted callable (seconds per call)."""
+    """Steady-state timing of a jitted callable (seconds per call).
+
+    Each repeat is fully drained (see ``_drain``), so the figure includes one
+    host round trip per call — subtract the tunnel RTT for pure device time,
+    or time a fused multi-step program to amortize it.
+    """
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _drain(out)
     dt = (time.perf_counter() - t0) / repeats
     return {"seconds_per_call": dt, "calls_per_s": 1.0 / dt}
 

@@ -63,12 +63,17 @@ def bench_devices(n_devices: int, args) -> dict:
     state = algo.init_sharded_state(jax.random.key(0))
     step = jax.jit(algo.train_step, donate_argnums=0)
 
+    def drain(x):
+        # block_until_ready alone can return early on the tunneled backend
+        jax.block_until_ready(x)
+        jax.device_get(jax.tree.leaves(x)[0].ravel()[:1])
+
     state, _ = step(state)  # compile + warmup
-    jax.block_until_ready(state.params)
+    drain(state.params)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step(state)
-    jax.block_until_ready(state.params)
+    drain(state.params)
     dt = time.perf_counter() - t0
 
     per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
