@@ -183,8 +183,13 @@ def main() -> None:
     ap.add_argument("--board-size", type=int, default=5)
     ap.add_argument("--sb3")
     ap.add_argument("--checkpoint")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     game = CliGame(args.board_size, sb3=args.sb3, checkpoint=args.checkpoint)
     for line in sys.stdin:
         ok, payload = game.respond(line)
