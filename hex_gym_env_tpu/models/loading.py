@@ -14,13 +14,17 @@ import jax
 import jax.numpy as jnp
 
 
-def load_policy_params(spec: str, board_size: int, model=None):
-    """Returns (model, variables) for ``spec`` at ``board_size``."""
-    from hex_gym_env_tpu.models import MlpPolicy
+def load_policy_params(spec: str, board_size: int, model=None, family: str = "MLP-default"):
+    """Returns (model, variables) for ``spec`` at ``board_size``.
+
+    ``family`` picks the architecture (``models.make_policy`` names) when no
+    ``model`` is given — needed to restore non-MLP checkpoints (e.g. CNN).
+    """
+    from hex_gym_env_tpu.models import make_policy
 
     n = board_size
     if model is None:
-        model = MlpPolicy(n_actions=n * n)
+        model = make_policy(family, n * n)
     template = model.init(jax.random.key(0), jnp.zeros((1, n, n), jnp.float32))
     if spec == "random":
         return model, jax.tree.map(jnp.zeros_like, template)

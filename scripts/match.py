@@ -19,15 +19,16 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def load_policy(spec: str, n: int):
+def load_policy(spec: str, n: int, family: str = "MLP-default"):
     from hex_gym_env_tpu.models.loading import load_policy_params
 
-    return load_policy_params(spec, n)
+    return load_policy_params(spec, n, family=family)
 
 
 def run_match(board_size: int, games: int, spec_a: str, spec_b: str,
               seed: int = 0, stochastic: bool = True,
-              mode: str = None) -> dict:
+              mode: str = None, family_a: str = "MLP-default",
+              family_b: str = "MLP-default") -> dict:
     """``mode`` selects per-side play style:
 
     - "stochastic" (default) / "deterministic": both sides alike —
@@ -49,8 +50,8 @@ def run_match(board_size: int, games: int, spec_a: str, spec_b: str,
     b_det = mode in ("deterministic", "b-det")
 
     topo = get_topology(board_size)
-    model_a, params_a = load_policy(spec_a, board_size)
-    model_b, params_b = load_policy(spec_b, board_size)
+    model_a, params_a = load_policy(spec_a, board_size, family_a)
+    model_b, params_b = load_policy(spec_b, board_size, family_b)
     B = games
 
     # env i: policy A holds seat (i mod 2) — alternating-seat pairing
@@ -110,6 +111,9 @@ def main() -> None:
     ap.add_argument("--deterministic", action="store_true")
     ap.add_argument("--mode", default=None,
                     choices=["stochastic", "deterministic", "a-det", "b-det"])
+    ap.add_argument("--a-family", default="MLP-default",
+                    help="architecture of --a (make_policy name, e.g. CNN)")
+    ap.add_argument("--b-family", default="MLP-default")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -119,7 +123,7 @@ def main() -> None:
     out = run_match(
         args.board_size, args.games, args.a, args.b,
         seed=args.seed, stochastic=not args.deterministic,
-        mode=args.mode,
+        mode=args.mode, family_a=args.a_family, family_b=args.b_family,
     )
     print(json.dumps(out))
 
