@@ -96,22 +96,25 @@ def bench_pallas(topo) -> float:
 
 def main() -> None:
     topo = get_topology(BOARD)
+    pallas_rate, pallas_error = 0.0, None
     try:
-        steps_per_s = bench_pallas(topo)
-    except Exception:
-        steps_per_s = 0.0
+        pallas_rate = bench_pallas(topo)
+    except Exception as e:  # a Pallas regression must be loud, not a silent lax fallback
+        pallas_error = f"{type(e).__name__}: {e}"
     lax_rate = bench_lax(topo)
-    steps_per_s = max(steps_per_s, lax_rate)
-    print(
-        json.dumps(
-            {
-                "metric": "hex_env_steps_per_s_7x7_b8192",
-                "value": round(steps_per_s, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / TARGET, 3),
-            }
-        )
-    )
+    steps_per_s = max(pallas_rate, lax_rate)
+    record = {
+        "metric": "hex_env_steps_per_s_7x7_b8192",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / TARGET, 3),
+        "pallas_steps_per_s": round(pallas_rate, 1),
+        "lax_steps_per_s": round(lax_rate, 1),
+        "winner": "pallas" if pallas_rate >= lax_rate else "lax",
+    }
+    if pallas_error is not None:
+        record["pallas_error"] = pallas_error
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

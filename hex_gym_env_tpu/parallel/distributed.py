@@ -45,8 +45,9 @@ class DistributedSelfplayPPO(SelfplayPPO):
         local_envs = cfg.selfplay.n_envs // n_data
         if (cfg.ppo.n_steps * local_envs) % cfg.ppo.minibatch_size:
             raise ValueError(
-                "per-device rollout size must divide minibatch_size: "
-                f"{cfg.ppo.n_steps} * {local_envs} vs {cfg.ppo.minibatch_size}"
+                "per-device rollout size (n_steps x local_envs = "
+                f"{cfg.ppo.n_steps} x {local_envs}) must be divisible by "
+                f"minibatch_size {cfg.ppo.minibatch_size}"
             )
         super().__init__(cfg)
         self.mesh = mesh
@@ -74,7 +75,8 @@ class DistributedSelfplayPPO(SelfplayPPO):
             bank=replicate_tree(state.bank, self.mesh),
             carry=shard_batch_tree(state.carry, self.mesh),
             key=replicate_tree(state.key, self.mesh),
-            timesteps=replicate_tree(state.timesteps, self.mesh),
+            iteration=replicate_tree(state.iteration, self.mesh),
+            eval_accum=replicate_tree(state.eval_accum, self.mesh),
         )
 
     def init_sharded_state(self, key: jax.Array) -> TrainState:
@@ -87,7 +89,7 @@ class DistributedSelfplayPPO(SelfplayPPO):
         runner = self.local_runner
         update_fn = self.dist_update_fn
 
-        def local_step(params, opt_state, bank, carry, key, timesteps):
+        def local_step(params, opt_state, bank, carry, key):
             di = jax.lax.axis_index(DATA_AXIS)
             key, k_roll, k_update = jax.random.split(key, 3)
             k_roll = jax.random.fold_in(k_roll, di)  # decorrelate replicas
@@ -117,29 +119,30 @@ class DistributedSelfplayPPO(SelfplayPPO):
                 finished > 0, reward_sum / finished.astype(jnp.float32), 0.0
             )
             stats = jax.lax.pmean(stats, DATA_AXIS)
-            timesteps = timesteps + cfg.ppo.n_steps * cfg.selfplay.n_envs
             metrics = TrainMetrics(mean_ep_reward, finished, stats)
-            return params, opt_state, carry, key, timesteps, metrics
+            return params, opt_state, carry, key, metrics
 
         rep = P()
         bat = P(DATA_AXIS)
         sharded = jax.shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(rep, rep, rep, bat, rep, rep),
-            out_specs=(rep, rep, bat, rep, rep, rep),
+            in_specs=(rep, rep, rep, bat, rep),
+            out_specs=(rep, rep, bat, rep, rep),
             check_vma=False,  # keys/psum mixes replicated+varying values
         )
 
         def step(state: TrainState):
-            params, opt_state, carry, key, timesteps, metrics = sharded(
+            params, opt_state, carry, key, metrics = sharded(
                 state.params, state.opt_state, state.bank, state.carry,
-                state.key, state.timesteps,
+                state.key,
             )
             return (
                 TrainState(
                     params=params, opt_state=opt_state, bank=state.bank,
-                    carry=carry, key=key, timesteps=timesteps,
+                    carry=carry, key=key,
+                    iteration=state.iteration + 1,
+                    eval_accum=state.eval_accum + self.per_iter,
                 ),
                 metrics,
             )

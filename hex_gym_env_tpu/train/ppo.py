@@ -48,20 +48,10 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
     )
 
 
-def make_update_fn(
-    model,
-    cfg: PPOConfig,
-    optimizer: optax.GradientTransformation,
-    grad_reduce=None,
-):
-    """Build ``update(params, opt_state, batch, key) -> (params', opt_state',
-    stats)`` running ``n_epochs`` shuffled sweeps of minibatch SGD.
-
-    ``grad_reduce`` (optional) is applied to the gradient pytree before the
-    optimizer — the data-parallel hook: inside ``shard_map`` pass
-    ``lambda g: jax.lax.pmean(g, "data")`` so every replica applies the
-    mesh-averaged gradient and parameters stay bitwise replicated.
-    """
+def make_loss_fn(model, cfg: PPOConfig):
+    """The PPO minibatch loss, exported for numeric parity testing
+    (``tests/test_sb3_parity.py`` diffs its gradients against an independent
+    torch restatement of ``MaskablePPO.train``)."""
 
     def loss_fn(params, extra, mb: PPOBatch):
         variables = {"params": params, **extra}
@@ -77,7 +67,10 @@ def make_update_fn(
         entropy = masked.entropy(logits, mb.legal)
 
         adv = mb.advantage
-        adv = (adv - adv.mean()) / (adv.std() + 1e-8)  # SB3: per-minibatch
+        # SB3 normalizes per-minibatch with torch.Tensor.std(), which applies
+        # Bessel's correction (ddof=1) — at minibatch 64 the biased std would
+        # be a systematic 0.8% off (caught by tests/test_sb3_parity.py).
+        adv = (adv - adv.mean()) / (adv.std(ddof=1) + 1e-8)
 
         ratio = jnp.exp(log_prob - mb.log_prob_old)
         unclipped = adv * ratio
@@ -94,6 +87,24 @@ def make_update_fn(
         clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_range).astype(jnp.float32))
         return loss, (PPOStats(policy_loss, value_loss, -entropy_loss, approx_kl, clip_frac), new_extra)
 
+    return loss_fn
+
+
+def make_update_fn(
+    model,
+    cfg: PPOConfig,
+    optimizer: optax.GradientTransformation,
+    grad_reduce=None,
+):
+    """Build ``update(params, opt_state, batch, key) -> (params', opt_state',
+    stats)`` running ``n_epochs`` shuffled sweeps of minibatch SGD.
+
+    ``grad_reduce`` (optional) is applied to the gradient pytree before the
+    optimizer — the data-parallel hook: inside ``shard_map`` pass
+    ``lambda g: jax.lax.pmean(g, "data")`` so every replica applies the
+    mesh-averaged gradient and parameters stay bitwise replicated.
+    """
+    loss_fn = make_loss_fn(model, cfg)
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
     def update(variables: Any, opt_state, batch: PPOBatch, key: jax.Array):

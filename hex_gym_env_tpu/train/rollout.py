@@ -48,6 +48,10 @@ def resolve_step_impl(impl: str):
     between ~100 and ~3 kernel launches per transition.  Semantics are
     bit-identical (asserted on hardware by ``tests/test_pallas_step.py``).
     """
+    if impl not in ("auto", "lax", "pallas"):
+        raise ValueError(
+            f"env_step_impl must be one of 'auto'/'lax'/'pallas', got {impl!r}"
+        )
     if impl == "lax" or (impl == "auto" and jax.default_backend() != "tpu"):
         return hex_env.step
     from hex_gym_env_tpu.ops import pallas_step

@@ -18,7 +18,7 @@ from hex_gym_env_tpu.core.topology import HexTopology, get_topology
 from hex_gym_env_tpu.models import make_policy
 from hex_gym_env_tpu.train import gae, ppo
 from hex_gym_env_tpu.train.bank import OpponentBank, init_bank
-from hex_gym_env_tpu.train.evaluate import Evaluator
+from hex_gym_env_tpu.train.evaluate import Evaluator, EvalResult
 from hex_gym_env_tpu.train.rollout import RolloutCarry, SelfplayRunner
 from hex_gym_env_tpu.utils.config import TrainConfig
 
@@ -30,7 +30,14 @@ class TrainState:
     bank: OpponentBank
     carry: RolloutCarry
     key: jax.Array
-    timesteps: jnp.ndarray  # () int64-ish counter of agent transitions
+    # () int32 — completed PPO iterations.  Transitions are derived host-side
+    # as iteration * n_steps * n_envs (exact, unbounded Python int): a raw
+    # int32 transition counter would silently wrap past 2.147B transitions,
+    # which the 1e9-default presets already approach.
+    iteration: jnp.ndarray
+    # () int32 — agent transitions since the last eval; gates ``eval_freq``
+    # inside fused supersteps (bounded by eval_freq + one iteration).
+    eval_accum: jnp.ndarray
 
 
 class TrainMetrics(NamedTuple):
@@ -52,6 +59,15 @@ class SelfplayPPO:
         self.update_fn = ppo.make_update_fn(self.model, cfg.ppo, self.optimizer)
         self.evaluator = Evaluator(self.topo, self.model, cfg.selfplay)
 
+    @property
+    def per_iter(self) -> int:
+        """Agent transitions per PPO iteration."""
+        return self.cfg.ppo.n_steps * self.cfg.selfplay.n_envs
+
+    def timesteps(self, state: TrainState) -> int:
+        """Exact agent-transition count (unbounded host int)."""
+        return int(state.iteration) * self.per_iter
+
     # -- state ------------------------------------------------------------
 
     def init_state(self, key: jax.Array) -> TrainState:
@@ -66,14 +82,15 @@ class SelfplayPPO:
             bank=bank,
             carry=carry,
             key=key,
-            timesteps=jnp.zeros((), jnp.int32),
+            iteration=jnp.zeros((), jnp.int32),
+            eval_accum=jnp.zeros((), jnp.int32),
         )
 
     def seed_bank(
         self,
         state: TrainState,
         seeds: list,
-        score: float = 1.0,
+        score: float = 0.5,
         as_best: bool = True,
         pin_best: bool = True,
     ) -> TrainState:
@@ -88,8 +105,26 @@ class SelfplayPPO:
         ``as_best`` installs ``seeds[0]`` as the designated best opponent;
         ``pin_best`` sets ``best_score = score`` so promotion requires
         actually out-scoring the seed.
+
+        ``score`` must stay below 1.0 when ``pin_best`` is set: eval scores
+        are ``mean_reward * exp(mean(pool_scores) - 1) < 1`` whenever any
+        pool slot scores < 1 (``EvaluationCallback.py:35``), so a pinned
+        best at 1.0 could never be out-promoted and every ``best_*``
+        artifact would forever be the seed's parameters, not the agent's.
         """
         bank = state.bank
+        if len(seeds) > bank.size:
+            raise ValueError(
+                f"{len(seeds)} seed snapshots exceed the opponent pool size "
+                f"{bank.size} (JAX would silently drop the out-of-bounds "
+                "writes)"
+            )
+        if pin_best and score >= 1.0:
+            raise ValueError(
+                f"pin_best with score={score} >= 1.0 makes best-promotion "
+                "unreachable (eval score < 1 whenever any pool slot scores "
+                "< 1); use score < 1.0 or pin_best=False"
+            )
         stack = bank.params
         scores = bank.scores
         for i, sd in enumerate(seeds):
@@ -146,7 +181,8 @@ class SelfplayPPO:
             bank=state.bank,
             carry=carry,
             key=key,
-            timesteps=state.timesteps + cfg.ppo.n_steps * cfg.selfplay.n_envs,
+            iteration=state.iteration + 1,
+            eval_accum=state.eval_accum + self.per_iter,
         )
         return new_state, TrainMetrics(mean_ep_reward, finished, stats)
 
@@ -167,20 +203,43 @@ class SelfplayPPO:
         return jax.lax.scan(body, state, None, length=k)
 
     def train_and_eval_steps(self, state: TrainState, k: int):
-        """``k`` iterations of (PPO update + eval/pool-update), one program.
+        """``k`` iterations of (PPO update + cadenced eval/pool-update), one
+        program.
 
-        The fused TPU-native training driver: the eval pass and opponent-pool
-        mutation (the reference's ``SelfPlayCallback``) run on device after
-        every PPO iteration, so the pool curriculum advances at full rate
-        while the host pays ONE dispatch per ``k`` iterations.  Returns the
-        final state plus per-iteration (TrainMetrics, EvalResult) stacked on
-        a leading (k,) axis.
+        The fused TPU-native training driver: the host pays ONE dispatch per
+        ``k`` iterations, while the eval pass and opponent-pool mutation (the
+        reference's ``SelfPlayCallback``) run on device gated by the same
+        ``eval_freq`` cadence the unfused ``Trainer.fit`` loop uses — eval
+        fires when the transitions accumulated since the last eval reach
+        ``eval_freq`` (``EvaluationCallback.py:30``'s ``n_calls % eval_freq``
+        in our iteration-quantized form), so toggling ``iters_per_dispatch``
+        does not change the pool curriculum or the RNG stream.  Returns the
+        final state plus per-iteration (TrainMetrics, EvalResult, did_eval)
+        stacked on a leading (k,) axis; ``EvalResult`` rows where
+        ``did_eval`` is False are zeros.
         """
+        eval_freq = self.cfg.selfplay.eval_freq
 
         def body(s, _):
             s, m = self.train_step(s)
-            s, r = self.eval_step(s)
-            return s, (m, r)
+            do_eval = s.eval_accum >= eval_freq
+
+            def run_eval(st: TrainState):
+                return self.eval_step(st)
+
+            def skip_eval(st: TrainState):
+                zero = jnp.zeros((), jnp.float32)
+                dummy = EvalResult(
+                    rewards=jnp.zeros((st.bank.size,), jnp.float32),
+                    mean_reward=zero,
+                    score=zero,
+                    replaced=jnp.zeros((), bool),
+                    best_score=st.bank.best_score,
+                )
+                return st, dummy
+
+            s, r = jax.lax.cond(do_eval, run_eval, skip_eval, s)
+            return s, (m, r, do_eval)
 
         return jax.lax.scan(body, state, None, length=k)
 
@@ -189,4 +248,7 @@ class SelfplayPPO:
     def eval_step(self, state: TrainState):
         key, k_eval = jax.random.split(state.key)
         bank, result = self.evaluator.eval_and_update(state.params, state.bank, k_eval)
-        return state.replace(bank=bank, key=key), result
+        return (
+            state.replace(bank=bank, key=key, eval_accum=jnp.zeros((), jnp.int32)),
+            result,
+        )

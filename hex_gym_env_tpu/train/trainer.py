@@ -6,6 +6,15 @@ iteration for logging, and writes checkpoints.  Equivalent role to
 ``model.learn(..., callback=[SelfPlayCallback(...)])`` in the reference
 (``scripts/selfplay_new.py:58-62``), with the eval cadence measured in
 agent transitions exactly like the callback's ``n_calls % eval_freq``.
+
+Both drivers share one eval-cadence rule — eval fires when the transitions
+accumulated since the last eval reach ``eval_freq`` — so ``fit`` (host-gated)
+and ``fit_fused`` (device-gated via ``lax.cond``) produce the identical pool
+curriculum and RNG stream for the same config.
+
+Multi-process runs (``jax.distributed``): every process executes the same
+device programs (SPMD), but checkpoints and metrics are written by process 0
+only (``bootstrap.is_main_process``).
 """
 
 from __future__ import annotations
@@ -17,6 +26,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from hex_gym_env_tpu.parallel.bootstrap import is_main_process
 from hex_gym_env_tpu.train.selfplay import SelfplayPPO, TrainState
 from hex_gym_env_tpu.utils import checkpoint as ckpt_lib
 from hex_gym_env_tpu.utils.config import TrainConfig
@@ -27,7 +37,12 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, logger: Optional[MetricsLogger] = None):
         self.cfg = cfg
         self.algo = SelfplayPPO(cfg)
-        self.logger = logger or MetricsLogger(cfg.log_dir, cfg.model_name)
+        if logger is not None:
+            self.logger = logger
+        elif is_main_process():
+            self.logger = MetricsLogger(cfg.log_dir, cfg.model_name)
+        else:
+            self.logger = _NullLogger()
         # Donating the train state halves HBM churn; the old state is never
         # reused (timesteps are tracked host-side deterministically).
         self.train_step = jax.jit(self.algo.train_step, donate_argnums=0)
@@ -52,23 +67,46 @@ class Trainer:
         template = jax.eval_shape(lambda: self.init_state())
         return self._ckpt_mgr().restore(template)
 
+    def _save_checkpoint(self, steps: int, state: TrainState, best0: float) -> None:
+        """Checkpoint + best-snapshot save, process 0 only.
+
+        The reference also snapshots its best pool model every checkpoint
+        period (``EvaluationCallback.py:53-55``); we additionally skip the
+        ``best_*`` param dump while ``best_score`` has not moved since fit
+        started — before the first promotion the "best" is either the
+        zero-params random policy or a seeded opponent checkpoint, neither
+        of which is this run's agent.
+        """
+        if not is_main_process():
+            return
+        self._ckpt_mgr().save(steps, state)
+        best_score = float(state.bank.best_score)
+        if best_score > best0:
+            ckpt_lib.save_params(
+                os.path.join(
+                    self.cfg.model_dir, self.cfg.model_name, f"best_{best_score:.4f}"
+                ),
+                state.bank.best_params,
+            )
+
     def fit(self, state: Optional[TrainState] = None) -> TrainState:
         if self.cfg.iters_per_dispatch > 1:
             return self.fit_fused(state)
         cfg = self.cfg
         state = self.init_state() if state is None else state
-        per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
+        per_iter = self.algo.per_iter
         t_start = time.perf_counter()
-        steps_start = int(state.timesteps)  # one blocking fetch, at startup
+        steps_start = self.algo.timesteps(state)  # one blocking fetch, at startup
+        best0 = float(state.bank.best_score)
 
-        # ``state.timesteps`` advances by exactly ``per_iter`` per train_step,
-        # so eval/checkpoint cadence and the loop condition run on a host-side
-        # counter — no device round trip on the control path.  Metric scalars
+        # ``state.iteration`` advances by exactly one per train_step, so
+        # eval/checkpoint cadence and the loop condition run on host-side
+        # counters — no device round trip on the control path.  Metric scalars
         # are fetched one iteration late: the fetch of iteration k overlaps
         # the device executing iteration k+1 (over the tunnel, a blocking
         # per-iteration round trip would otherwise serialize with compute).
         steps = steps_start
-        next_eval = cfg.selfplay.eval_freq
+        eval_accum = int(state.eval_accum)  # mirrors the device accumulator
         next_ckpt = cfg.checkpoint_every
         pending = None  # (steps_k, metrics_k, eval_result_k or None)
         t_prev = time.perf_counter()
@@ -103,109 +141,110 @@ class Trainer:
         while steps < cfg.total_timesteps:
             state, metrics = self.train_step(state)  # async dispatch
             steps += per_iter
+            eval_accum += per_iter
 
             result = None
-            if steps >= next_eval:
+            if eval_accum >= cfg.selfplay.eval_freq:
                 state, result = self.eval_step(state)
-                next_eval = steps + cfg.selfplay.eval_freq
+                eval_accum = 0
 
             if pending is not None:
                 t_prev = flush_pending(pending, t_prev)
             pending = (steps, metrics, result)
 
             if steps >= next_ckpt:
-                self._ckpt_mgr().save(steps, state)
-                # the reference also snapshots its best pool model every
-                # checkpoint period (EvaluationCallback.py:53-55)
-                best_score = float(state.bank.best_score)
-                ckpt_lib.save_params(
-                    os.path.join(
-                        cfg.model_dir, cfg.model_name, f"best_{best_score:.4f}"
-                    ),
-                    state.bank.best_params,
-                )
+                self._save_checkpoint(steps, state, best0)
                 next_ckpt = steps + cfg.checkpoint_every
 
         if pending is not None:
             flush_pending(pending, t_prev)
         wall = time.perf_counter() - t_start
-        total = int(state.timesteps) - steps_start
+        total = self.algo.timesteps(state) - steps_start
         self.logger.log(
-            int(state.timesteps),
+            self.algo.timesteps(state),
             {"perf/total_steps_per_s": total / max(wall, 1e-9)},
         )
         return state
 
     def fit_fused(self, state: Optional[TrainState] = None) -> TrainState:
-        """Superstep driver: ``iters_per_dispatch`` fused (train + eval)
-        iterations per host dispatch (``SelfplayPPO.train_and_eval_steps``).
+        """Superstep driver: ``iters_per_dispatch`` fused (train + cadenced
+        eval) iterations per host dispatch (``SelfplayPPO.train_and_eval_steps``).
 
         Per-iteration logging fidelity is preserved — every iteration's train
-        metrics AND eval/pool-update result come back stacked and are written
-        as individual records.  Checkpoints land between supersteps.
+        metrics come back stacked and are written as individual records, and
+        eval scalars are written for exactly the iterations where the
+        device-side ``eval_freq`` gate fired.  Checkpoints land between
+        supersteps.
         """
         cfg = self.cfg
         state = self.init_state() if state is None else state
-        per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
+        per_iter = self.algo.per_iter
         k = cfg.iters_per_dispatch
         t_start = time.perf_counter()
-        steps_start = int(state.timesteps)
+        steps_start = self.algo.timesteps(state)
+        best0 = float(state.bank.best_score)
 
         steps = steps_start
         next_ckpt = cfg.checkpoint_every
-        pending = None  # (first_step, metrics(k,...), results(k,...))
+        pending = None  # (first_step, metrics(k,...), results(k,...), did_eval(k,))
         t_prev = time.perf_counter()
 
         def flush_pending(pending, t_prev):
-            first_step, p_metrics, p_results = pending
-            m, r = jax.device_get((p_metrics, p_results))
+            first_step, p_metrics, p_results, p_did = pending
+            m, r, did = jax.device_get((p_metrics, p_results, p_did))
             now = time.perf_counter()
             dt_iter = max(now - t_prev, 1e-9) / k
             for i in range(k):
-                self.logger.log(
-                    first_step + i * per_iter,
-                    {
-                        "rollout/ep_rew_mean": float(m.mean_episode_reward[i]),
-                        "rollout/episodes": float(m.episodes_finished[i]),
-                        "train/policy_loss": float(m.ppo.policy_loss[i]),
-                        "train/value_loss": float(m.ppo.value_loss[i]),
-                        "train/entropy": float(m.ppo.entropy[i]),
-                        "train/approx_kl": float(m.ppo.approx_kl[i]),
-                        "train/clip_frac": float(m.ppo.clip_frac[i]),
-                        "perf/steps_per_s": per_iter / dt_iter,
-                        "eval/mean_reward": float(r.mean_reward[i]),
-                        "eval/score": float(r.score[i]),
-                        "eval/replaced": float(r.replaced[i]),
-                        "eval/best_score": float(r.best_score[i]),
-                    },
-                )
+                scalars = {
+                    "rollout/ep_rew_mean": float(m.mean_episode_reward[i]),
+                    "rollout/episodes": float(m.episodes_finished[i]),
+                    "train/policy_loss": float(m.ppo.policy_loss[i]),
+                    "train/value_loss": float(m.ppo.value_loss[i]),
+                    "train/entropy": float(m.ppo.entropy[i]),
+                    "train/approx_kl": float(m.ppo.approx_kl[i]),
+                    "train/clip_frac": float(m.ppo.clip_frac[i]),
+                    "perf/steps_per_s": per_iter / dt_iter,
+                }
+                if bool(did[i]):
+                    scalars.update(
+                        {
+                            "eval/mean_reward": float(r.mean_reward[i]),
+                            "eval/score": float(r.score[i]),
+                            "eval/replaced": float(r.replaced[i]),
+                            "eval/best_score": float(r.best_score[i]),
+                        }
+                    )
+                self.logger.log(first_step + i * per_iter, scalars)
             return now
 
         while steps < cfg.total_timesteps:
-            state, (metrics, results) = self.train_span(state, k)
+            state, (metrics, results, did_eval) = self.train_span(state, k)
             steps += k * per_iter
 
             if pending is not None:
                 t_prev = flush_pending(pending, t_prev)
-            pending = (steps - (k - 1) * per_iter, metrics, results)
+            pending = (steps - (k - 1) * per_iter, metrics, results, did_eval)
 
             if steps >= next_ckpt:
-                self._ckpt_mgr().save(steps, state)
-                best_score = float(state.bank.best_score)
-                ckpt_lib.save_params(
-                    os.path.join(
-                        cfg.model_dir, cfg.model_name, f"best_{best_score:.4f}"
-                    ),
-                    state.bank.best_params,
-                )
+                self._save_checkpoint(steps, state, best0)
                 next_ckpt = steps + cfg.checkpoint_every
 
         if pending is not None:
             flush_pending(pending, t_prev)
         wall = time.perf_counter() - t_start
-        total = int(state.timesteps) - steps_start
+        total = self.algo.timesteps(state) - steps_start
         self.logger.log(
-            int(state.timesteps),
+            self.algo.timesteps(state),
             {"perf/total_steps_per_s": total / max(wall, 1e-9)},
         )
         return state
+
+
+class _NullLogger:
+    """Metrics sink for non-main processes in multi-process runs."""
+
+    def log(self, step: int, scalars: dict) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

@@ -63,7 +63,7 @@ def main() -> None:
 
     template = jax.eval_shape(lambda: trainer.init_state())
     state = mgr.restore(template, step=args.step)
-    step = int(state.timesteps)
+    step = trainer.algo.timesteps(state)
     out = args.out or os.path.join(
         cfg.model_dir, cfg.model_name, f"agent_{step}"
     )

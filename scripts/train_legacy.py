@@ -79,7 +79,7 @@ def main() -> None:
             bank=append_to_history(state.bank, state.params, slot)
         )
         print(
-            f"burst {burst}/{args.bursts}: steps={int(state.timesteps)} "
+            f"burst {burst}/{args.bursts}: steps={algo.timesteps(state)} "
             f"ep_rew={float(metrics.mean_episode_reward):+.3f} "
             f"episodes={int(metrics.episodes_finished)}",
             flush=True,

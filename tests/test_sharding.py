@@ -29,10 +29,10 @@ def test_distributed_train_step_runs():
     state = algo.init_sharded_state(jax.random.key(0))
     step = jax.jit(algo.train_step)
     state, metrics = step(state)
-    assert int(state.timesteps) == 16 * 64
+    assert algo.timesteps(state) == 16 * 64
     assert np.isfinite(float(metrics.ppo.policy_loss))
     state, metrics = step(state)
-    assert int(state.timesteps) == 2 * 16 * 64
+    assert algo.timesteps(state) == 2 * 16 * 64
     # carry stays sharded over the data axis
     sh = state.carry.env.stones.sharding
     assert sh.spec[0] == DATA_AXIS

@@ -162,7 +162,7 @@ def test_seed_bank_plants_opponents():
     seed_vars = algo.model.init(
         jax.random.key(99), jnp.zeros((1, algo.topo.n, algo.topo.n), jnp.float32)
     )
-    state = algo.seed_bank(state, [seed_vars], score=1.0)
+    state = algo.seed_bank(state, [seed_vars], score=0.5)
 
     # slot 0 carries the seed, best is pinned to it
     leaf = jax.tree.leaves(seed_vars)[0]
@@ -171,11 +171,18 @@ def test_seed_bank_plants_opponents():
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(state.bank.best_params)[0]), np.asarray(leaf)
     )
-    assert float(state.bank.scores[0]) == 1.0
-    assert float(state.bank.best_score) == 1.0
+    assert float(state.bank.scores[0]) == 0.5
+    assert float(state.bank.best_score) == 0.5
     # training still runs from the seeded state
     state2, metrics = jax.jit(algo.train_step)(state)
     assert np.isfinite(float(metrics.ppo.policy_loss))
+
+    # guard rails: an unpromotable pinned best and oversized seed lists raise
+    with pytest.raises(ValueError, match="unreachable"):
+        algo.seed_bank(state, [seed_vars], score=1.0)
+    too_many = [seed_vars] * (state.bank.size + 1)
+    with pytest.raises(ValueError, match="exceed"):
+        algo.seed_bank(state, too_many)
 
 
 def test_rollout_seat_balance():
@@ -192,11 +199,11 @@ def test_train_step_runs_and_counts():
     state = algo.init_state(jax.random.key(0))
     step = jax.jit(algo.train_step)
     state, metrics = step(state)
-    assert int(state.timesteps) == 32 * 16
+    assert algo.timesteps(state) == 32 * 16
     assert np.isfinite(float(metrics.ppo.policy_loss))
     assert np.isfinite(float(metrics.ppo.value_loss))
     state, _ = step(state)
-    assert int(state.timesteps) == 2 * 32 * 16
+    assert algo.timesteps(state) == 2 * 32 * 16
 
 
 def test_eval_step_updates_bank():

@@ -26,14 +26,18 @@ def _cfg(tmp_path, total=4 * 16 * 8, ckpt_every=10_000_000):
     )
 
 
+def _records(cfg):
+    path = os.path.join(cfg.log_dir, cfg.model_name, "metrics.jsonl")
+    return [json.loads(l) for l in open(path)]
+
+
 def test_fit_logs_every_iteration_and_evals_on_cadence(tmp_path):
     cfg = _cfg(tmp_path)  # 4 iterations of 128 transitions
     trainer = Trainer(cfg)
     state = trainer.fit()
-    assert int(state.timesteps) == cfg.total_timesteps
+    assert trainer.algo.timesteps(state) == cfg.total_timesteps
 
-    path = os.path.join(cfg.log_dir, cfg.model_name, "metrics.jsonl")
-    recs = [json.loads(l) for l in open(path)]
+    recs = _records(cfg)
     train_recs = [r for r in recs if "rollout/ep_rew_mean" in r]
     # one record per train iteration, in step order, none dropped by pipelining
     assert [r["step"] for r in train_recs] == [128, 256, 384, 512]
@@ -52,15 +56,33 @@ def test_fit_fused_supersteps_log_every_iteration(tmp_path):
     )
     trainer = Trainer(cfg)
     state = trainer.fit()
-    assert int(state.timesteps) == cfg.total_timesteps
+    assert trainer.algo.timesteps(state) == cfg.total_timesteps
 
-    path = os.path.join(cfg.log_dir, cfg.model_name, "metrics.jsonl")
-    recs = [json.loads(l) for l in open(path)]
+    recs = _records(cfg)
     train_recs = [r for r in recs if "rollout/ep_rew_mean" in r]
     assert [r["step"] for r in train_recs] == [128 * i for i in range(1, 7)]
-    # fused mode evals (and may mutate the pool) every iteration
-    assert all("eval/mean_reward" in r for r in train_recs)
-    assert all(np.isfinite(r["eval/score"]) for r in train_recs)
+    # fused mode honors eval_freq (256 transitions = every 2nd iteration),
+    # exactly like the unfused driver — NOT once per iteration
+    eval_steps = [r["step"] for r in train_recs if "eval/mean_reward" in r]
+    assert eval_steps == [256, 512, 768]
+    for r in train_recs:
+        if "eval/score" in r:
+            assert np.isfinite(r["eval/score"])
+
+
+def test_fused_and_unfused_eval_cadence_identical(tmp_path):
+    """VERDICT item 3: toggling iters_per_dispatch must not change the pool
+    curriculum — both drivers eval at the same transition counts."""
+    total = 6 * 16 * 8
+    cadences = {}
+    for name, k in (("cad_unfused", 1), ("cad_fused", 3)):
+        cfg = dataclasses.replace(
+            _cfg(tmp_path, total=total), model_name=name, iters_per_dispatch=k
+        )
+        Trainer(cfg).fit()
+        recs = _records(cfg)
+        cadences[name] = [r["step"] for r in recs if "eval/mean_reward" in r]
+    assert cadences["cad_unfused"] == cadences["cad_fused"] == [256, 512, 768]
 
 
 def test_fit_checkpoints_and_resumes(tmp_path):
@@ -77,6 +99,22 @@ def test_fit_checkpoints_and_resumes(tmp_path):
         cfg2, logger=MetricsLogger(cfg2.log_dir, cfg2.model_name)
     )
     state = trainer2.resume()
-    assert int(state.timesteps) == 256
+    assert trainer2.algo.timesteps(state) == 256
     state = trainer2.fit(state)
-    assert int(state.timesteps) == 384
+    assert trainer2.algo.timesteps(state) == 384
+
+
+def test_timesteps_counter_supports_past_int32(tmp_path):
+    """VERDICT item 6: transition counts beyond 2**31 must not wrap.
+
+    The device counter counts iterations (int32, one per PPO update); the
+    transition count is derived host-side as an unbounded Python int.
+    """
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    # pretend 40M iterations have run: 40e6 * 128 = 5.12e9 transitions > 2**31
+    state = state.replace(iteration=state.iteration + 40_000_000)
+    got = trainer.algo.timesteps(state)
+    assert got == 40_000_000 * 128
+    assert got > 2**31

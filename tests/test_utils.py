@@ -90,7 +90,7 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     state, _ = jax.jit(algo.train_step)(state)
 
     mgr = ckpt.CheckpointManager(str(tmp_path / "ckpt"))
-    mgr.save(int(state.timesteps), state)
+    mgr.save(algo.timesteps(state), state)
     assert mgr.latest_step() == 16
 
     template = jax.eval_shape(lambda: algo.init_state(jax.random.key(0)))
@@ -102,4 +102,4 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
 
     # restored state must be steppable
     restored, _ = jax.jit(algo.train_step)(restored)
-    assert int(restored.timesteps) == 32
+    assert algo.timesteps(restored) == 32
