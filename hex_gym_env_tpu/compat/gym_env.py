@@ -34,6 +34,21 @@ from hex_gym_env_tpu.core.state import Winner
 from hex_gym_env_tpu.core.topology import get_topology
 
 
+def random_policy(board: np.ndarray, rng: Optional[np.random.Generator] = None) -> int:
+    """Uniform-random move over empty cells in variant-A encoding.
+
+    Free-function twin of ``minihex.random_policy``
+    (``minihex/__init__.py:8-12``): empty cells are ``== 2``; the reference
+    draws via unseeded ``random.random()``, here an optional ``rng`` makes
+    the draw reproducible.
+    """
+    board = np.asarray(board)
+    actions = np.arange(board.size)
+    valid = actions[board.flatten() == 2]
+    r = np.random.random() if rng is None else rng.random()
+    return int(valid[int(r * len(valid))])
+
+
 class HexEnv(_GYM_BASE):
     """Single-agent, alternate-and-invert Hex env (reference variant B).
 
@@ -101,10 +116,32 @@ class HexEnv(_GYM_BASE):
         else:
             self._state = hex_env.initial_state(self.topo, 1)
         self.winner = None
+        self._history = []
         obs = self.observation
         return obs, {"state": obs, "last_move_opponent": None, "last_move_player": None}
 
+    def undo_move(self, steps: int = 1) -> np.ndarray:
+        """Rewind ``steps`` half-moves (the GUI ``z`` key; the reference's
+        ``undo_move`` path was dead code referencing a nonexistent
+        ``board.undo_move_board`` — ``interactive.py:41-45``).  Returns the
+        restored mover-frame observation."""
+        for _ in range(min(steps, len(self._history))):
+            self._state = self._history.pop()
+        self.winner = None
+        return self.observation
+
+    def set_world_board(self, board: np.ndarray) -> None:
+        """Replace the position (GUI editor mode), keeping the mover."""
+        self._history.append(self._state)
+        self._state = hex_env.state_from_boards(
+            self.topo,
+            jnp.asarray(board, jnp.int8)[None],
+            to_move=self._state.to_move,
+        )
+        self.winner = None
+
     def step(self, action: int):
+        self._history.append(self._state)
         self._state, rewards = self._jit_step(
             self._state, jnp.asarray([action], jnp.int32)
         )
@@ -153,6 +190,8 @@ class HexEnvV0(_GYM_BASE):
         player_color: int = 0,
         eps: float = 0.0,
         seed: int = 0,
+        show_board: bool = False,
+        show_result: bool = False,
     ):
         self.board_size = board_size
         self.topo = get_topology(board_size)
@@ -160,6 +199,8 @@ class HexEnvV0(_GYM_BASE):
         self.opponent_model = opponent_model
         self.player_color = player_color  # seat the agent occupies (0=BLACK)
         self.eps = eps
+        self.show_board = show_board
+        self.show_result = show_result
         self._rng = np.random.default_rng(seed)
         self._inner = HexEnv(board_size=board_size, seed=seed)
         if spaces is not None:
@@ -167,6 +208,39 @@ class HexEnvV0(_GYM_BASE):
                 low=0, high=2, shape=(board_size, board_size), dtype=int
             )
             self.action_space = spaces.Discrete(board_size**2)
+
+        # ``show_board=True`` opens the pygame window with the config.ini
+        # geometry, like ``HexGame.py:194-197``; ``opponent_policy=
+        # "interactive"`` makes the human the opponent (``HexGame.py:163-165``)
+        self._interactive = None
+        if show_board or opponent_policy == "interactive":
+            from hex_gym_env_tpu.interactive.interactive import InteractiveGame
+
+            self._interactive = InteractiveGame(
+                np.zeros((board_size, board_size), np.int8)
+            )
+
+    # -- GUI helpers ---------------------------------------------------------
+
+    def _world_b(self) -> np.ndarray:
+        """World-frame board in variant-B encoding (what the GUI renders)."""
+        return np.asarray(hex_env.world_boards(self.topo, self._inner._state))[0]
+
+    def _gui_sync(self) -> None:
+        if self._interactive is not None:
+            self._interactive.gui.update_board(self._world_b())
+
+    def _interactive_action(self) -> int:
+        """Human plays the opponent seat: world-frame click -> mover-frame
+        action (the inner canonical core transposes for the WHITE seat)."""
+        n = self.board_size
+        a_world = self._interactive.choose_action(self._world_b())
+        if a_world < 0:  # restart request
+            return a_world
+        y, x = divmod(a_world, n)
+        if self._inner.current_player_num == 1:
+            return x * n + y
+        return a_world
 
     # encoding helpers: variant A uses {BLACK:0, WHITE:1, EMPTY:2}
     @staticmethod
@@ -185,6 +259,8 @@ class HexEnvV0(_GYM_BASE):
         return self._to_v0(world)
 
     def _opponent_action(self) -> int:
+        if self.opponent_policy == "interactive":
+            return self._interactive_action()
         mask = self._inner.legal_actions()
         board = self._inner.observation  # opponent sees itself as black (-1)
         if callable(self.opponent_policy):
@@ -200,9 +276,11 @@ class HexEnvV0(_GYM_BASE):
 
     def reset(self, seed=None, options=None):
         self._inner.reset(seed=seed)
+        self._gui_sync()
         if self.player_color != 0:
             # opponent (black seat) opens, like HexGame.py:224-230
             self._inner.step(self._opponent_action())
+            self._gui_sync()
         return self._world_v0(), {}
 
     def legal_actions(self) -> np.ndarray:
@@ -214,14 +292,18 @@ class HexEnvV0(_GYM_BASE):
     def step(self, action: int):
         agent_seat = self.player_color
         _, _, done, _ = self._inner.step(action)
+        self._gui_sync()
         w = self._inner.winner
         if w == 3:
             return self._world_v0(), -100.0, True, False, {}
         if not done:
             _, _, done, _ = self._inner.step(self._opponent_action())
+            self._gui_sync()
             w = self._inner.winner
             if w == 3:  # opponent invalid: episode over, no agent reward
                 return self._world_v0(), 0.0, True, False, {}
+        if done and self.show_result and self._interactive is not None and w in (0, 1):
+            self._interactive.gui.show_winner(-1 if w == 0 else 1)
         if w == agent_seat:
             reward = 1.0
         elif w == (agent_seat + 1) % 2:
@@ -229,6 +311,25 @@ class HexEnvV0(_GYM_BASE):
         else:
             reward = 0.0
         return self._world_v0(), reward, done, False, {}
+
+    def render(self, mode: str = "ansi", close: bool = False) -> str:
+        """ASCII grid table like the reference's (``HexGame.py:305-330``):
+        numbered rows/columns, O/B/W cells; printed and returned."""
+        board = self._world_v0()
+        n = board.shape[1]
+        sym = {2: "  O  ", 0: "  B  ", 1: "  W  "}
+        lines = []
+        header = " " * 6 + "".join(f"  {j + 1}  |" for j in range(n))
+        lines.append(header)
+        lines.append(" " * 5 + "-" * (n * 6 - 1))
+        for i in range(n):
+            row = " " * (1 + i * 3) + f"{i + 1}  |"
+            row += "".join(sym[int(board[i, j])] + "|" for j in range(n))
+            lines.append(row)
+            lines.append(" " * (i * 3 + 1) + "-" * (n * 7 - 1))
+        out = "\n".join(lines)
+        print(out)
+        return out
 
 
 def register_envs() -> None:

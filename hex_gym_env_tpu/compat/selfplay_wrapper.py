@@ -106,11 +106,16 @@ def selfplay_wrapper(env_cls=HexEnv):
             self.play_gui = play_gui
             self.prob_model = prob_model
             self.calculate_probs = False
+            self._restart_requested = False
 
             if play_gui:
                 from hex_gym_env_tpu.interactive.interactive import InteractiveGame
 
                 human = InteractiveGame(np.zeros((board_size, board_size), dtype=int))
+                # meta-move hooks: z = undo one full move, e-mode edits commit
+                # to the env (interactive.py module docstring)
+                human.undo_hook = self._undo_for_human
+                human.edit_hook = self._commit_edited_board
                 self.opponent_models: List[Any] = [human]
                 self.opponent_model = human
                 self.opponent_scores = np.asarray([1.0])
@@ -148,6 +153,7 @@ def selfplay_wrapper(env_cls=HexEnv):
         # -- reset / opponent selection -----------------------------------
 
         def reset(self, seed=None, options=None):
+            self._restart_requested = False
             obs, info = super().reset(seed=seed, options=options)
             # Reference quirk reproduced: the seat is drawn only while the
             # attribute is None, i.e. once per object lifetime
@@ -233,6 +239,9 @@ def selfplay_wrapper(env_cls=HexEnv):
             action = self.opponent_model.choose_action(
                 self.observation, self.legal_actions()
             )
+            if int(action) < 0:  # GUI restart request (the `r` key)
+                self._restart_requested = True
+                return None, None, True, None
             obs, reward, done, _ = super().step(int(action))
             return obs, reward, done, None
 
@@ -242,12 +251,35 @@ def selfplay_wrapper(env_cls=HexEnv):
                 self.opponent_model.gui.update_board(self._gui_board())
             if not done:
                 package = self.continue_game()
+                if self._restart_requested:
+                    return self.observation, 0.0, True, False, {"restart": True}
                 if package[0] is not None:
                     obs, reward, done, _ = package
             agent_reward = reward[self.agent_player_num]
             if self.play_gui and done:
                 self.opponent_model.gui.update_board(self._gui_board())
             return obs, agent_reward, done, False, {}
+
+        # -- GUI meta-move hooks ---------------------------------------------
+
+        def _mover_to_world(self, board: np.ndarray) -> np.ndarray:
+            """The human edits the mover-frame board; the env state rebuild
+            wants the world frame (transpose + color swap for seat 1)."""
+            board = np.asarray(board)
+            if self.current_player_num == 1:
+                b = board.T.copy()
+                out = np.zeros_like(b)
+                out[b == -1] = 1
+                out[b == 1] = -1
+                return out
+            return board
+
+        def _commit_edited_board(self, board_mover: np.ndarray) -> None:
+            self.set_world_board(self._mover_to_world(board_mover))
+
+        def _undo_for_human(self) -> np.ndarray:
+            """Rewind one full move (the human's last + the reply)."""
+            return self.undo_move(2)
 
         # -- GUI probability overlay ---------------------------------------
 

@@ -49,13 +49,17 @@ def initial_state(topo: HexTopology, batch: int) -> HexState:
     )
 
 
-def state_from_boards(topo: HexTopology, boards: jnp.ndarray) -> HexState:
+def state_from_boards(
+    topo: HexTopology, boards: jnp.ndarray, to_move: jnp.ndarray | None = None
+) -> HexState:
     """Build state from world-frame boards (-1 seat0 / +1 seat1 / 0 empty).
 
     The connectivity replay the reference does stone-by-stone at construction
     (``HexSingleGame.py:57-65``) collapses into one batched fixpoint.
-    ``boards`` is (B, N, N) integer; seat 0 is to move (the reference's
-    ``reset`` always restarts with BLACK, ``HexSingleGame.py:209``).
+    ``boards`` is (B, N, N) integer; seat 0 moves unless ``to_move`` (B,) is
+    given (the reference's ``reset`` always restarts with BLACK,
+    ``HexSingleGame.py:209``; the GUI editor commits mid-game positions with
+    the current mover preserved).
     """
     b = boards.reshape(boards.shape[0], topo.num_cells).astype(jnp.int8)
     pad = topo.lanes - topo.num_cells
@@ -69,7 +73,11 @@ def state_from_boards(topo: HexTopology, boards: jnp.ndarray) -> HexState:
     return HexState(
         stones=stones,
         labels=labels,
-        to_move=jnp.zeros((batch,), dtype=jnp.int32),
+        to_move=(
+            jnp.zeros((batch,), dtype=jnp.int32)
+            if to_move is None
+            else jnp.asarray(to_move, jnp.int32)
+        ),
         done=jnp.zeros((batch,), dtype=jnp.bool_),
         winner=jnp.full((batch,), Winner.ONGOING, dtype=jnp.int32),
         empty=empty,

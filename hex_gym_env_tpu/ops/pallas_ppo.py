@@ -1,0 +1,447 @@
+"""Fused PPO epoch sweep: the entire epochs x minibatches update in ONE
+Pallas kernel.
+
+Why: the reference protocol (SB3 defaults, BASELINE.md) runs 10 epochs of
+minibatch SGD over the rollout — at 6x6/512 envs that is 640 *sequential*
+grad steps whose GEMMs are tiny ((mb,36)@(36,64)); as XLA ops under
+``lax.scan`` each step costs ~70-90us of launch/latency overhead and the
+sweep dominates the whole PPO iteration (~60ms of ~85ms, VERDICT r1).  The
+MLP policies at reference scale are ~12.5k params: parameters, Adam moments,
+and a minibatch all fit in VMEM simultaneously.  So the TPU-native design is
+one kernel whose sequential grid walks the minibatch schedule, keeping
+params + Adam state resident in VMEM the whole sweep and streaming
+pre-permuted minibatches from HBM through the Pallas pipeline; each grid
+step computes the masked-PPO loss, a hand-derived backward, the global-norm
+clip, and the Adam update in-register.
+
+MXU packing: the separate pi/vf towers (64 lanes each) are concatenated
+into 128-lane tensors — layer 1 side-by-side ``[W_pi | W_vf]`` (both halves
+real), deeper layers block-diagonal, and the action/value heads fused into
+one ``(2H, A+1)`` block matrix — so a grid step runs ~8 full-width matmuls
+instead of 20 half-empty ones.  Zero off-diagonal blocks are exact for the
+forward/backward math; their gradients are masked to zero each step, so
+with zero-initialized Adam moments they remain identically zero through any
+number of updates.
+
+Semantics are those of ``train/ppo.make_update_fn`` (itself parity-tested
+against an independent torch restatement of SB3 ``MaskablePPO.train``,
+``tests/test_sb3_parity.py``): identical permutation stream (same key
+derivation), per-minibatch advantage normalization with unbiased std,
+clipped surrogate, unclipped value MSE, entropy term, optax-exact
+``clip_by_global_norm`` + ``adam(eps=1e-5)``.  Equality with the lax path
+is asserted in ``tests/test_pallas_ppo.py`` (tight per-step; the paths
+drift apart by fp accumulation order over hundreds of sequential Adam
+steps, like any two XLA schedules of the same math).
+
+Scope: plain MLP policies with equal pi/vf tower widths (the entire
+reference experiment grid except the CNN extractor).  The CNN/BatchNorm
+path and the multi-chip ``grad_reduce`` path use the lax update.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hex_gym_env_tpu.ops.masked import MASKED_LOGIT
+from hex_gym_env_tpu.train import ppo
+from hex_gym_env_tpu.utils.config import PPOConfig
+
+N_STATS = 8  # [policy_loss, value_loss, entropy, approx_kl, clip_frac, 0, 0, 0]
+
+# auto-mode VMEM guard: live (mb, 128)-padded fp32 intermediates dominate;
+# past this minibatch size the kernel risks the 16MB scoped-vmem limit
+MAX_AUTO_MINIBATCH = 1024
+
+
+def _pack_params(tree: dict, n_layers: int, H: int, A: int):
+    """Params dict -> packed tensor list [W1,b1, ..., WL,bL, Wh,bh]."""
+    out = []
+    for li in range(n_layers):
+        pw = tree[f"pi_{li}"]["kernel"].astype(jnp.float32)
+        vw = tree[f"vf_{li}"]["kernel"].astype(jnp.float32)
+        pb = tree[f"pi_{li}"]["bias"].reshape(1, -1).astype(jnp.float32)
+        vb = tree[f"vf_{li}"]["bias"].reshape(1, -1).astype(jnp.float32)
+        if li == 0:
+            W = jnp.concatenate([pw, vw], axis=1)  # (F, 2H) — all real
+        else:
+            W = jnp.zeros((2 * H, 2 * H), jnp.float32)
+            W = W.at[:H, :H].set(pw).at[H:, H:].set(vw)
+        out += [W, jnp.concatenate([pb, vb], axis=1)]
+    aw = tree["action_head"]["kernel"].astype(jnp.float32)  # (H, A)
+    vw = tree["value_head"]["kernel"].astype(jnp.float32)  # (H, 1)
+    Wh = jnp.zeros((2 * H, A + 1), jnp.float32)
+    Wh = Wh.at[:H, :A].set(aw).at[H:, A:].set(vw)
+    bh = jnp.concatenate(
+        [
+            tree["action_head"]["bias"].reshape(1, -1).astype(jnp.float32),
+            tree["value_head"]["bias"].reshape(1, -1).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    out += [Wh, bh]
+    return out
+
+
+def _unpack_params(packed: list, like: dict, n_layers: int, H: int, A: int) -> dict:
+    out = {}
+    for li in range(n_layers):
+        W, b = packed[2 * li], packed[2 * li + 1]
+        if li == 0:
+            pw, vw = W[:, :H], W[:, H:]
+        else:
+            pw, vw = W[:H, :H], W[H:, H:]
+        out[f"pi_{li}"] = {
+            "kernel": pw,
+            "bias": b[0, :H].reshape(like[f"pi_{li}"]["bias"].shape),
+        }
+        out[f"vf_{li}"] = {
+            "kernel": vw,
+            "bias": b[0, H:].reshape(like[f"vf_{li}"]["bias"].shape),
+        }
+    Wh, bh = packed[2 * n_layers], packed[2 * n_layers + 1]
+    out["action_head"] = {
+        "kernel": Wh[:H, :A],
+        "bias": bh[0, :A].reshape(like["action_head"]["bias"].shape),
+    }
+    out["value_head"] = {
+        "kernel": Wh[H:, A:],
+        "bias": bh[0, A:].reshape(like["value_head"]["bias"].shape),
+    }
+    return out
+
+
+def _make_kernel(cfg: PPOConfig, n_layers: int, H: int, A: int, activation: str, mb: int):
+    """Kernel body over packed tensors.  Ref layout (inputs then outputs):
+    [t0, obs, legal, act, lpold, adv, ret,
+     in_p(2*(L+1)), in_m(...), in_v(...),
+     out_p(...), out_m(...), out_v(...), stats]."""
+    n_t = 2 * (n_layers + 1)  # packed tensors per tree (W+b per layer + head)
+    b1, b2 = 0.9, 0.999
+    lr = cfg.learning_rate
+    eps = cfg.adam_eps
+    clip = cfg.clip_range
+    ln_b1, ln_b2 = math.log(b1), math.log(b2)
+
+    if activation == "tanh":
+        act = jnp.tanh
+        act_grad = lambda h: 1.0 - h * h  # noqa: E731 — from post-activation
+    else:  # relu
+        act = lambda x: jnp.maximum(x, 0.0)  # noqa: E731
+        act_grad = lambda h: (h > 0.0).astype(jnp.float32)  # noqa: E731
+
+    # gradient masks keeping the zero blocks zero — built from iota inside
+    # the kernel (Pallas kernels cannot close over array constants)
+    def diag_mask():
+        r = jax.lax.broadcasted_iota(jnp.int32, (2 * H, 2 * H), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (2 * H, 2 * H), 1)
+        return ((r < H) == (c < H)).astype(jnp.float32)
+
+    def head_mask():
+        r = jax.lax.broadcasted_iota(jnp.int32, (2 * H, A + 1), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (2 * H, A + 1), 1)
+        return (((r < H) & (c < A)) | ((r >= H) & (c >= A))).astype(jnp.float32)
+
+    def kernel(*refs):
+        (t0_ref, obs_ref, legal_ref, act_ref, lpold_ref, adv_ref, ret_ref) = refs[:7]
+        rest = list(refs[7:])
+        in_p = rest[0 * n_t : 1 * n_t]
+        in_m = rest[1 * n_t : 2 * n_t]
+        in_v = rest[2 * n_t : 3 * n_t]
+        out_p = rest[3 * n_t : 4 * n_t]
+        out_m = rest[4 * n_t : 5 * n_t]
+        out_v = rest[5 * n_t : 6 * n_t]
+        stats_ref = rest[6 * n_t]
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            for dst, src in zip(out_p + out_m + out_v, in_p + in_m + in_v):
+                dst[:] = src[:]
+
+        x = obs_ref[0].astype(jnp.float32)  # (mb, F)
+        legal = legal_ref[0].astype(jnp.float32)  # (mb, A)
+        a_col = act_ref[0]  # (mb, 1) int32
+        lp_old = lpold_ref[0]  # (mb, 1)
+        adv_raw = adv_ref[0]  # (mb, 1)
+        ret = ret_ref[0]  # (mb, 1)
+
+        P = [r[:] for r in out_p]
+
+        # ---- forward (packed towers) ----
+        hs = [x]
+        for li in range(n_layers):
+            hs.append(
+                act(
+                    jnp.dot(hs[-1], P[2 * li], preferred_element_type=jnp.float32)
+                    + P[2 * li + 1]
+                )
+            )
+        head = (
+            jnp.dot(hs[-1], P[2 * n_layers], preferred_element_type=jnp.float32)
+            + P[2 * n_layers + 1]
+        )  # (mb, A+1)
+        logits = head[:, :A]
+        value = head[:, A : A + 1]
+
+        masked = jnp.where(legal > 0.0, logits, MASKED_LOGIT)
+        zmax = jnp.max(masked, axis=-1, keepdims=True)
+        z = masked - zmax
+        ez = jnp.exp(z)
+        sum_ez = jnp.sum(ez, axis=-1, keepdims=True)
+        lse = jnp.log(sum_ez)
+        logp = z - lse  # (mb, A)
+        p = ez / sum_ez  # == exp(logp), reusing ez (one fewer 128-lane exp)
+
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (mb, A), 1) == a_col
+        ).astype(jnp.float32)
+        lp_a = jnp.sum(
+            jnp.where(onehot > 0.0, logp, 0.0), axis=-1, keepdims=True
+        )  # (mb, 1)
+
+        # per-minibatch advantage normalization, unbiased std (SB3/torch)
+        mean = jnp.sum(adv_raw) / mb
+        var = jnp.sum((adv_raw - mean) ** 2) / (mb - 1)
+        adv = (adv_raw - mean) / (jnp.sqrt(var) + 1e-8)
+
+        log_ratio = lp_a - lp_old
+        ratio = jnp.exp(log_ratio)
+        unclipped = adv * ratio
+        clipped = adv * jnp.clip(ratio, 1.0 - clip, 1.0 + clip)
+        policy_loss = -jnp.sum(jnp.minimum(unclipped, clipped)) / mb
+
+        err = value - ret
+        value_loss = jnp.sum(err * err) / mb
+
+        ent_terms = jnp.where(legal > 0.0, p * logp, 0.0)
+        H_ent = -jnp.sum(ent_terms, axis=-1, keepdims=True)  # (mb, 1)
+        entropy = jnp.sum(H_ent) / mb
+
+        approx_kl = jnp.sum(ratio - 1.0 - log_ratio) / mb
+        clip_frac = jnp.sum((jnp.abs(ratio - 1.0) > clip).astype(jnp.float32)) / mb
+
+        zero = jnp.zeros((), jnp.float32)
+        stats_ref[...] = jnp.concatenate(
+            [
+                s.reshape(1, 1, 1)
+                for s in (
+                    policy_loss, value_loss, entropy, approx_kl, clip_frac,
+                    zero, zero, zero,
+                )
+            ],
+            axis=2,
+        )
+
+        # ---- backward ----
+        # d(policy_loss)/d(lp_a): gradient flows through min's active branch;
+        # the clipped branch has zero slope outside the clip interval.
+        in_bounds = (ratio > 1.0 - clip) & (ratio < 1.0 + clip)
+        active = (unclipped <= clipped) | in_bounds
+        dlp_a = -jnp.where(active, adv * ratio, 0.0) / mb  # (mb, 1)
+
+        dmasked = dlp_a * (onehot - p)
+        if cfg.ent_coef != 0.0:
+            dmasked = dmasked + (cfg.ent_coef / mb) * p * (logp + H_ent)
+        dlogits = jnp.where(legal > 0.0, dmasked, 0.0)
+        dvalue = (cfg.vf_coef * 2.0 / mb) * err  # (mb, 1)
+        dhead = jnp.concatenate([dlogits, dvalue], axis=1)  # (mb, A+1)
+
+        grads = [None] * n_t
+        gW = jax.lax.dot_general(
+            hs[-1], dhead, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grads[2 * n_layers] = gW * head_mask()
+        grads[2 * n_layers + 1] = jnp.sum(dhead, axis=0, keepdims=True)
+        dh = jax.lax.dot_general(
+            dhead, P[2 * n_layers], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for li in reversed(range(n_layers)):
+            dz = dh * act_grad(hs[li + 1])
+            gW = jax.lax.dot_general(
+                hs[li], dz, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            grads[2 * li] = gW if li == 0 else gW * diag_mask()
+            grads[2 * li + 1] = jnp.sum(dz, axis=0, keepdims=True)
+            if li > 0:
+                dh = jax.lax.dot_general(
+                    dz, P[2 * li], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        # ---- optax-exact global-norm clip ----
+        sq = 0.0
+        for g in grads:
+            sq = sq + jnp.sum(g * g)
+        gnorm = jnp.sqrt(sq)
+        scale = jnp.where(
+            gnorm < cfg.max_grad_norm, 1.0, cfg.max_grad_norm / gnorm
+        )
+
+        # ---- Adam (optax scale_by_adam + scale(-lr)) ----
+        # b**t as exp(t*ln b): Mosaic has no powf lowering; fp32-identical
+        # for these decay constants at any realistic step count
+        t = (t0_ref[0, 0] + step + 1).astype(jnp.float32)
+        bc1 = 1.0 - jnp.exp(t * ln_b1)
+        bc2 = 1.0 - jnp.exp(t * ln_b2)
+        for j in range(n_t):
+            g = grads[j] * scale
+            m = b1 * out_m[j][:] + (1.0 - b1) * g
+            v = b2 * out_v[j][:] + (1.0 - b2) * (g * g)
+            out_m[j][:] = m
+            out_v[j][:] = v
+            out_p[j][:] = out_p[j][:] - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+
+    return kernel, n_t
+
+
+def supported_policy(model, cfg: PPOConfig | None = None) -> bool:
+    """True when ``model`` is a plain equal-tower MLP the fused sweep can
+    train (and, if ``cfg`` is given, the minibatch fits the VMEM budget)."""
+    from hex_gym_env_tpu.models.mlp import MlpPolicy
+
+    if not isinstance(model, MlpPolicy):
+        return False
+    import flax.linen as nn
+
+    if not (model.activation in (nn.tanh, jnp.tanh) or model.activation is nn.relu):
+        return False
+    if tuple(model.pi_layers) != tuple(model.vf_layers):
+        return False
+    if len(set(model.pi_layers)) != 1:
+        return False  # packing assumes one hidden width
+    if cfg is not None and cfg.minibatch_size > MAX_AUTO_MINIBATCH:
+        return False
+    return True
+
+
+def make_pallas_update_fn(model, cfg: PPOConfig, interpret: bool = False):
+    """Drop-in replacement for ``ppo.make_update_fn(model, cfg, optimizer)``
+    (single-chip, plain-MLP policies): same signature, same RNG stream, same
+    optax ``chain(clip_by_global_norm, adam)`` opt_state structure.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+    from hex_gym_env_tpu.models.mlp import MlpPolicy
+    import flax.linen as nn
+
+    if not isinstance(model, MlpPolicy):  # pragma: no cover - caller gates
+        raise ValueError("pallas PPO sweep supports plain MlpPolicy only")
+    if tuple(model.pi_layers) != tuple(model.vf_layers) or len(set(model.pi_layers)) != 1:
+        raise ValueError(
+            "pallas PPO sweep packs equal-width pi/vf towers; got "
+            f"pi={model.pi_layers} vf={model.vf_layers}"
+        )
+    activation = "relu" if model.activation is nn.relu else "tanh"
+    n_layers = len(model.pi_layers)
+    H = model.pi_layers[0]
+    A = model.n_actions
+
+    def update(variables: Any, opt_state, batch: ppo.PPOBatch, key: jax.Array):
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        if extra:  # pragma: no cover - caller gates (BatchNorm etc.)
+            raise ValueError("pallas PPO sweep supports parameter-only models")
+
+        n = batch.action.shape[0]
+        mbs = cfg.minibatch_size
+        n_mb = n // mbs
+        G = cfg.n_epochs * n_mb
+
+        # --- identical permutation stream to make_update_fn ---
+        epoch_keys = jax.random.split(key, cfg.n_epochs)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n))(epoch_keys)
+        idx = perms[:, : n_mb * mbs].reshape(G, mbs)
+
+        # int8 boards/masks keep the big gathers and the HBM stream 4x lean
+        obs = batch.obs.reshape(n, -1).astype(jnp.int8)[idx]  # (G, mb, F)
+        legal = batch.legal.astype(jnp.int8)[idx]  # (G, mb, A)
+        act = batch.action.astype(jnp.int32)[idx][..., None]  # (G, mb, 1)
+        lpold = batch.log_prob_old[idx][..., None]
+        adv = batch.advantage[idx][..., None]
+        ret = batch.ret[idx][..., None]
+
+        clip_state, (adam_state, lr_state) = opt_state
+        count0 = adam_state.count
+
+        p_flat = _pack_params(params, n_layers, H, A)
+        m_flat = _pack_params(adam_state.mu, n_layers, H, A)
+        v_flat = _pack_params(adam_state.nu, n_layers, H, A)
+        n_t = len(p_flat)
+
+        F = obs.shape[-1]
+
+        def const_spec(x):
+            return pl.BlockSpec(
+                x.shape, lambda i: (0,) * x.ndim, memory_space=pltpu.VMEM
+            )
+
+        def stream_spec(last):
+            return pl.BlockSpec(
+                (1, mbs, last), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+
+        tensor_specs = [const_spec(x) for x in p_flat]
+        in_specs = (
+            [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+            + [
+                stream_spec(F), stream_spec(A), stream_spec(1),
+                stream_spec(1), stream_spec(1), stream_spec(1),
+            ]
+            + tensor_specs * 3
+        )
+        # stats block is (1, 1, N_STATS): the last two dims must equal the
+        # array dims (Pallas TPU lowering constraint), so the grid axis leads
+        out_specs = tensor_specs * 3 + [
+            pl.BlockSpec((1, 1, N_STATS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        tensor_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in p_flat]
+        out_shape = tensor_shapes * 3 + [
+            jax.ShapeDtypeStruct((G, 1, N_STATS), jnp.float32)
+        ]
+
+        kernel, _ = _make_kernel(cfg, n_layers, H, A, activation, mbs)
+        t0 = count0.reshape(1, 1).astype(jnp.int32)
+
+        results = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(t0, obs, legal, act, lpold, adv, ret, *p_flat, *m_flat, *v_flat)
+
+        new_p = results[0 * n_t : 1 * n_t]
+        new_m = results[1 * n_t : 2 * n_t]
+        new_v = results[2 * n_t : 3 * n_t]
+        stats_all = results[3 * n_t].reshape(G, N_STATS)
+
+        new_params = _unpack_params(new_p, params, n_layers, H, A)
+        new_adam = adam_state._replace(
+            count=count0 + G,
+            mu=_unpack_params(new_m, params, n_layers, H, A),
+            nu=_unpack_params(new_v, params, n_layers, H, A),
+        )
+        new_opt_state = (clip_state, (new_adam, lr_state))
+
+        mean = stats_all.mean(axis=0)
+        stats = ppo.PPOStats(
+            policy_loss=mean[0],
+            value_loss=mean[1],
+            entropy=mean[2],
+            approx_kl=mean[3],
+            clip_frac=mean[4],
+        )
+        return {"params": new_params}, new_opt_state, stats
+
+    return update

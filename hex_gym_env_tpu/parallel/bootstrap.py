@@ -32,19 +32,23 @@ def init_distributed(
     """Initialize the multi-host runtime; returns True when initialized.
 
     On TPU pods all arguments are auto-detected from the environment; on a
-    single process with no coordinator this is a safe no-op.
+    single process with no coordinator this is a safe no-op.  Must run
+    before any JAX computation touches a backend — even ``jax.devices()`` /
+    ``jax.process_count()`` initializes one, after which the runtime can no
+    longer join a coordinator (so this function must not probe them first).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    if jax.distributed.is_initialized():
+        return True
+    if coordinator_address is not None:
+        # explicit multi-process request: failures must propagate
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
     try:
-        if coordinator_address is not None:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        else:
-            jax.distributed.initialize()
+        jax.distributed.initialize()
         return True
     except (ValueError, RuntimeError):
         # single-process environment (no coordinator discoverable)

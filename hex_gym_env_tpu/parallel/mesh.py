@@ -43,12 +43,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _is_key(x) -> bool:
+    return hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
+def _put(x, sh: NamedSharding):
+    """Place a host-identical value with ``sh``, multi-process safe.
+
+    ``jax.device_put`` rejects shardings that span non-addressable devices;
+    in multi-host runs each process instead contributes its local shards via
+    ``make_array_from_callback`` (every process holds the identical full
+    value, so slicing by global index yields consistent shards).  Typed PRNG
+    keys are routed through their raw uint32 data.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    if _is_key(x):
+        data = np.asarray(jax.random.key_data(x))
+        raw = jax.make_array_from_callback(data.shape, sh, lambda idx: data[idx])
+        return jax.random.wrap_key_data(raw)
+    data = np.asarray(x)
+    return jax.make_array_from_callback(data.shape, sh, lambda idx: data[idx])
+
+
 def shard_batch_tree(tree, mesh: Mesh):
     """Place every leaf with its leading axis split over ``data``."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put(x, sh), tree)
 
 
 def replicate_tree(tree, mesh: Mesh):
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree.map(lambda x: _put(x, rep), tree)

@@ -56,8 +56,33 @@ class SelfplayPPO:
         self.model = make_policy(cfg.selfplay.policy, self.topo.num_cells)
         self.runner = SelfplayRunner(self.topo, self.model, cfg.selfplay)
         self.optimizer = ppo.make_optimizer(cfg.ppo)
-        self.update_fn = ppo.make_update_fn(self.model, cfg.ppo, self.optimizer)
+        self.update_fn = self._resolve_update_fn()
         self.evaluator = Evaluator(self.topo, self.model, cfg.selfplay)
+
+    def _resolve_update_fn(self):
+        """Pick the epoch-sweep backend (see ``PPOConfig.update_impl``)."""
+        import jax as _jax
+
+        from hex_gym_env_tpu.ops import pallas_ppo
+
+        impl = self.cfg.ppo.update_impl
+        if impl not in ("auto", "lax", "pallas"):
+            raise ValueError(
+                f"update_impl must be one of 'auto'/'lax'/'pallas', got {impl!r}"
+            )
+        if impl == "pallas" and not pallas_ppo.supported_policy(self.model):
+            raise ValueError(
+                "update_impl='pallas' requires a plain equal-tower MLP policy "
+                "(CNN/BatchNorm models use the lax sweep)"
+            )
+        use_pallas = impl == "pallas" or (
+            impl == "auto"
+            and pallas_ppo.supported_policy(self.model, self.cfg.ppo)
+            and _jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            return pallas_ppo.make_pallas_update_fn(self.model, self.cfg.ppo)
+        return ppo.make_update_fn(self.model, self.cfg.ppo, self.optimizer)
 
     @property
     def per_iter(self) -> int:

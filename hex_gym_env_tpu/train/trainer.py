@@ -68,7 +68,13 @@ class Trainer:
         return self._ckpt_mgr().restore(template)
 
     def _save_checkpoint(self, steps: int, state: TrainState, best0: float) -> None:
-        """Checkpoint + best-snapshot save, process 0 only.
+        """Checkpoint + best-snapshot save.
+
+        Orbax saves are COLLECTIVE in multi-process runs — every process
+        must call them (each host writes its local shards, process 0 writes
+        the metadata); gating on ``is_main_process`` would deadlock a
+        multi-host save of the sharded rollout carry.  Only the host-side
+        metric/log stream is process-0-only (``_NullLogger``).
 
         The reference also snapshots its best pool model every checkpoint
         period (``EvaluationCallback.py:53-55``); we additionally skip the
@@ -77,8 +83,6 @@ class Trainer:
         zero-params random policy or a seeded opponent checkpoint, neither
         of which is this run's agent.
         """
-        if not is_main_process():
-            return
         self._ckpt_mgr().save(steps, state)
         best_score = float(state.bank.best_score)
         if best_score > best0:

@@ -29,6 +29,11 @@ class PPOConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     adam_eps: float = 1e-5
+    # epoch-sweep backend: "auto" runs the single-kernel fused Pallas sweep
+    # (ops/pallas_ppo.py) on TPU for plain MLP policies — the sweep is
+    # otherwise hundreds of sequential tiny-GEMM grad steps and dominates
+    # iteration latency; "lax" keeps the composable optax path everywhere
+    update_impl: str = "auto"  # "auto" | "lax" | "pallas"
 
     def validate(self, n_envs: int) -> None:
         total = self.n_steps * n_envs

@@ -116,11 +116,23 @@ def main() -> None:
     )
 
     results = [bench_devices(d, args) for d in sizes]
-    base = results[0]["transitions_per_s"] / results[0]["devices"]
+    # efficiency is only meaningful within one platform: with 1 real TPU and
+    # --devices 1,8 the 8-device run silently falls back to virtual CPU
+    # devices, and a TPU-vs-CPU ratio would be nonsense
+    base_by_platform: dict = {}
     for r in results:
+        base_by_platform.setdefault(
+            r["platform"], r["transitions_per_s"] / r["devices"]
+        )
+    for r in results:
+        base = base_by_platform[r["platform"]]
         r["efficiency_vs_1dev"] = r["transitions_per_s"] / (r["devices"] * base)
+        if r["devices"] == min(
+            x["devices"] for x in results if x["platform"] == r["platform"]
+        ):
+            r["efficiency_baseline"] = True
         print(json.dumps(r))
-    if results[-1]["platform"] == "cpu":
+    if any(r["platform"] == "cpu" for r in results):
         print(
             json.dumps(
                 {

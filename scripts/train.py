@@ -44,6 +44,10 @@ def main() -> None:
                          "device dispatch (fast over a tunneled chip)")
     ap.add_argument("--env-step-impl", choices=["auto", "lax", "pallas"],
                     default=None)
+    ap.add_argument("--update-impl", choices=["auto", "lax", "pallas"],
+                    default=None,
+                    help="PPO epoch-sweep backend; auto fuses the sweep into "
+                         "one Pallas kernel on TPU for MLP policies")
     ap.add_argument("--model-name", default=None,
                     help="override the run/checkpoint directory name")
     ap.add_argument("--seed-pool", default=None,
@@ -87,6 +91,8 @@ def main() -> None:
         overrides["iters_per_dispatch"] = args.iters_per_dispatch
     if args.env_step_impl is not None:
         overrides["env_step_impl"] = args.env_step_impl
+    if args.update_impl is not None:
+        overrides["update_impl"] = args.update_impl
     if args.model_name is not None:
         overrides["model_name"] = args.model_name
     cfg = get_config(args.experiment, **overrides)

@@ -102,3 +102,111 @@ def test_interactive_game_click_to_action():
         assert game.choose_action(board) == 2 * 4 + 1
     finally:
         pygame.quit()
+
+
+def _post_key(key):
+    pygame.event.post(pygame.event.Event(pygame.KEYDOWN, key=key))
+
+
+def _post_click(gui, y, x):
+    pos = gui.get_center(y + 1, x + 1)
+    pygame.event.post(
+        pygame.event.Event(
+            pygame.MOUSEBUTTONDOWN, button=1, pos=(int(pos[0]), int(pos[1]))
+        )
+    )
+
+
+def test_interactive_ai_move_plays_policy_action():
+    """The `a` key hands the human's move to the wired policy
+    (the reference's intended play_ai_move, interactive.py:47-60)."""
+    board = np.zeros((4, 4), dtype=int)
+    game = InteractiveGame(board, radius=30, dark_mode=False)
+    try:
+        calls = []
+
+        def policy(b, mask):
+            calls.append(np.array(b))
+            return int(np.flatnonzero(mask)[0])
+
+        game.ai_policy = policy
+        _post_key(pygame.K_a)
+        assert game.choose_action(board) == 0
+        assert len(calls) == 1
+    finally:
+        pygame.quit()
+
+
+def test_interactive_undo_redraws_and_keeps_waiting():
+    board = np.zeros((4, 4), dtype=int)
+    board[1, 1] = -1
+    game = InteractiveGame(board, radius=30, dark_mode=False)
+    try:
+        undone = np.zeros((4, 4), dtype=int)  # position after the undo
+        game.undo_hook = lambda: undone
+        _post_key(pygame.K_z)
+        _post_click(game.gui, 1, 1)  # legal again after the undo
+        assert game.choose_action(board) == 1 * 4 + 1
+        assert game.last_meta_move == "undo_move"
+    finally:
+        pygame.quit()
+
+
+def test_interactive_editor_mode_suppresses_moves_and_commits_edits():
+    """Editor mode: clicks cycle cells and commit via edit_hook; no action
+    is ever returned while editing (gui.py:48 'AI will not move')."""
+    board = np.zeros((4, 4), dtype=int)
+    game = InteractiveGame(board, radius=30, dark_mode=False)
+    try:
+        commits = []
+        game.edit_hook = lambda b: commits.append(np.array(b))
+        _post_key(pygame.K_e)  # editor on
+        _post_click(game.gui, 0, 0)  # empty -> -1
+        _post_click(game.gui, 0, 0)  # -1 -> +1
+        _post_key(pygame.K_e)  # editor off
+        _post_click(game.gui, 2, 2)  # now a real move
+        assert game.choose_action(board) == 2 * 4 + 2
+        assert len(commits) == 2
+        assert commits[0][0, 0] == -1 and commits[1][0, 0] == 1
+    finally:
+        pygame.quit()
+
+
+def test_interactive_restart_returns_sentinel():
+    board = np.zeros((4, 4), dtype=int)
+    game = InteractiveGame(board, radius=30, dark_mode=False)
+    try:
+        _post_key(pygame.K_r)
+        assert game.choose_action(board) == -1
+        assert game.last_meta_move == "restart"
+    finally:
+        pygame.quit()
+
+
+def test_selfplay_wrapper_gui_restart_and_undo(monkeypatch):
+    """End-to-end: human presses r mid-game -> step returns restart info;
+    undo rewinds a full move pair through the env history."""
+    from hex_gym_env_tpu.compat import HexEnv, selfplay_wrapper
+
+    env = selfplay_wrapper(HexEnv)(board_size=4, play_gui=True, agent_player_num=0)
+    try:
+        obs, _ = env.reset(seed=0)
+        human = env.opponent_model
+        # agent (seat 0) moves; human replies via a scripted click, then
+        # a second agent move where the human presses r
+        _post_click(human.gui, 0, 0)
+        obs, r, done, _, info = env.step(5)
+        assert not done and "restart" not in info
+
+        # undo hook: rewinds the human's click + the agent move
+        before = np.array(env.observation)
+        after_undo = env._undo_for_human()
+        assert (np.asarray(after_undo) != before).any()
+        # events must be queued BEFORE the step that blocks on the human
+        _post_click(human.gui, 0, 0)  # human's reply to the redone move
+        env.step(5)
+        _post_key(pygame.K_r)  # human requests a restart next turn
+        obs, r, done, _, info = env.step(6)
+        assert done and info.get("restart") is True
+    finally:
+        pygame.quit()
