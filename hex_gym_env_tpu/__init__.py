@@ -23,11 +23,13 @@ __version__ = "0.1.0"
 from hex_gym_env_tpu.core.topology import HexTopology
 from hex_gym_env_tpu.core.state import HexState, Winner
 from hex_gym_env_tpu.core import env as hex_env
+from hex_gym_env_tpu.compat.gym_env import random_policy
 
 __all__ = [
     "HexTopology",
     "HexState",
     "Winner",
     "hex_env",
+    "random_policy",
     "__version__",
 ]

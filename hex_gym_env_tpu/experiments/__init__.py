@@ -71,6 +71,26 @@ _add("4x4_buffer_1", 4, buffer_size=1, eval_freq=1_000, total=1_000_000)
 _add("6x6_buffer_64", 6, buffer_size=64, eval_freq=5_000, total=10_000_000)
 _add("7x7_buffer_256", 7, buffer_size=256, eval_freq=8_000, total=10_000_000)
 
+# strict SB3-protocol curve-replication configs (BASELINE config 4): the
+# reference's exact PPO shape (n_steps 2048, minibatch 64, 10 epochs,
+# lr 3e-4), its first-reset-only seat draw (seat_mode="fixed_random",
+# SelfplayWrapper.py:72-73), its eval cadence, and the lax update path the
+# SB3 numerical-parity harness certifies.  n_envs is the one batched knob
+# (the protocol is per-env; 8 parallel streams keep the chip from idling).
+for _n, _ef in ((5, 10_000), (6, 5_000), (7, 10_000)):
+    REGISTRY[f"{_n}x{_n}_strict_sb3"] = TrainConfig(
+        ppo=PPOConfig(
+            learning_rate=3e-4, n_steps=2048, minibatch_size=64,
+            update_impl="lax",
+        ),
+        selfplay=SelfplayConfig(
+            board_size=_n, n_envs=8, buffer_size=30, policy="MLP-default",
+            seat_mode="fixed_random", eval_freq=_ef, n_eval_episodes=30,
+        ),
+        total_timesteps=10_000_000,
+        model_name=f"{_n}x{_n}_strict_sb3",
+    )
+
 
 def get_config(name: str, **overrides) -> TrainConfig:
     """Fetch a preset, optionally overriding selfplay/ppo/top-level fields."""

@@ -49,12 +49,23 @@ class DistributedSelfplayPPO(SelfplayPPO):
                 f"{cfg.ppo.n_steps} x {local_envs}) must be divisible by "
                 f"minibatch_size {cfg.ppo.minibatch_size}"
             )
+        # Impl selection must follow the MESH's devices, not
+        # jax.default_backend(): a virtual-CPU dryrun on a machine whose
+        # default backend is a TPU (e.g. the tunneled axon chip) would
+        # otherwise pick Pallas kernels — for the rollout step AND the
+        # evaluator AND the update sweep — that cannot lower for CPU.
+        import dataclasses
+
+        if next(iter(mesh.devices.flat)).platform == "cpu":
+            cfg = dataclasses.replace(
+                cfg,
+                selfplay=dataclasses.replace(cfg.selfplay, env_step_impl="lax"),
+                ppo=dataclasses.replace(cfg.ppo, update_impl="lax"),
+            )
         super().__init__(cfg)
         self.mesh = mesh
         self.n_data = n_data
         # Per-device runner: same config but local env count.
-        import dataclasses
-
         local_sp = dataclasses.replace(cfg.selfplay, n_envs=local_envs)
         from hex_gym_env_tpu.train.rollout import SelfplayRunner
 

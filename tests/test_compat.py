@@ -132,3 +132,65 @@ def test_selfplay_wrapper_sampled_board():
     env = SelfPlay(board_size=7, buffer_size=3, sample_board=True)
     obs, _ = env.reset()
     assert obs.shape == (7, 7)
+
+
+def test_module_random_policy_matches_reference_semantics():
+    """Free-function twin of ``minihex.random_policy`` (__init__.py:8-12):
+    uniform over cells == 2 in variant-A encoding."""
+    from hex_gym_env_tpu.compat.gym_env import random_policy
+
+    board = np.full((4, 4), 0)
+    board[1, 2] = 1
+    board[0, 0] = 2  # the single empty cell
+    board[3, 3] = 2
+    rng = np.random.default_rng(0)
+    picks = {random_policy(board, rng) for _ in range(64)}
+    assert picks <= {0, 15} and picks == {0, 15}
+
+    # module-level export like `from minihex import random_policy`
+    import hex_gym_env_tpu
+
+    assert hex_gym_env_tpu.random_policy is random_policy
+
+
+def test_hex_v0_render_matches_reference_table():
+    """ASCII table layout of HexGame.py:305-330: numbered headers, O/B/W."""
+    from hex_gym_env_tpu.compat.gym_env import HexEnvV0
+
+    env = HexEnvV0(board_size=3, opponent_policy="random", seed=1)
+    env.reset()
+    out = env.render()
+    lines = out.splitlines()
+    assert "1" in lines[0] and "2" in lines[0] and "3" in lines[0]
+    assert "O" in out  # empty cells render as O
+    # a move by the agent (seat 0 = BLACK) shows up as B in the world frame
+    env.step(4)
+    out2 = env.render()
+    assert "B" in out2
+
+
+def test_hex_env_undo_and_board_edit():
+    """History-backed undo + editor board commit (compat HexEnv)."""
+    from hex_gym_env_tpu.compat.gym_env import HexEnv
+
+    env = HexEnv(board_size=4)
+    env.reset()
+    obs0 = env.observation.copy()
+    env.step(5)
+    env.step(6)
+    back = env.undo_move(2)
+    np.testing.assert_array_equal(np.asarray(back), obs0)
+
+    board = np.zeros((4, 4), np.int8)
+    board[0, 0] = -1
+    board[2, 2] = 1
+    env.set_world_board(board)
+    world = np.asarray(
+        __import__("hex_gym_env_tpu.core.env", fromlist=["world_boards"]).world_boards(
+            env.topo, env._state
+        )
+    )[0]
+    np.testing.assert_array_equal(world, board)
+    # edit is undoable too
+    env.undo_move(1)
+    np.testing.assert_array_equal(env.observation, obs0)

@@ -84,3 +84,35 @@ def test_single_vs_multi_device_shapes_agree():
     assert t1 == t2
     for a, b in zip(jax.tree.leaves(s_single), jax.tree.leaves(s_dist)):
         assert a.shape == b.shape, (a.shape, b.shape)
+
+
+def test_distributed_fused_span_honors_eval_cadence():
+    """The superstep driver composes with the SPMD algo: shard_map train
+    steps + device-gated eval inside one scanned program, eval firing on the
+    same eval_freq cadence as single-device."""
+    import dataclasses
+
+    cfg = _cfg()
+    per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs  # 1024
+    cfg = dataclasses.replace(
+        cfg,
+        selfplay=dataclasses.replace(
+            cfg.selfplay, eval_freq=2 * per_iter, n_eval_episodes=4
+        ),
+    )
+    mesh = make_mesh()
+    algo = DistributedSelfplayPPO(cfg, mesh)
+    state = algo.init_sharded_state(jax.random.key(0))
+    span = jax.jit(algo.train_and_eval_steps, static_argnums=1)
+    state, (metrics, results, did_eval) = span(state, 4)
+    assert algo.timesteps(state) == 4 * per_iter
+    # eval_freq = 2 iterations -> evals after iterations 2 and 4
+    np.testing.assert_array_equal(
+        np.asarray(did_eval), np.array([False, True, False, True])
+    )
+    assert np.isfinite(np.asarray(metrics.ppo.policy_loss)).all()
+    # params remain replicated across the mesh after the fused program
+    leaf = jax.tree.leaves(state.params)[0]
+    vals = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for v in vals[1:]:
+        np.testing.assert_array_equal(v, vals[0])

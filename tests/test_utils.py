@@ -16,8 +16,13 @@ from hex_gym_env_tpu.utils import checkpoint as ckpt
 
 def test_experiment_registry_complete():
     names = list_experiments()
-    # 9 size-titled + 4 families x 3 lrs + 4 buffer_exp = 25
-    assert len(names) == 25
+    # 9 size-titled + 4 families x 3 lrs + 4 buffer_exp + 3 strict-SB3 = 28
+    assert len(names) == 28
+    for n in (5, 6, 7):
+        strict = get_config(f"{n}x{n}_strict_sb3")
+        assert strict.ppo.n_steps == 2048 and strict.ppo.minibatch_size == 64
+        assert strict.selfplay.seat_mode == "fixed_random"
+        assert strict.ppo.update_impl == "lax"
     for n in range(3, 12):
         assert f"{n}x{n}_MLP-default_lr-0.0003" in names
     cfg = get_config("7x7_buffer_256")
