@@ -87,6 +87,12 @@ class SelfplayRunner:
         self.model = model
         self.cfg = cfg
         self.step = resolve_step_impl(cfg.env_step_impl)
+        # fused policy-pass kernels (None -> composable lax path).  One
+        # Pallas launch each for agent forward+sample and bank forward+sample
+        # instead of ~20 small XLA kernels per pass (ops/pallas_policy.py).
+        from hex_gym_env_tpu.ops import pallas_policy
+
+        self.pol = pallas_policy.resolve_policy_ops(model, cfg)
 
     # -- helpers -----------------------------------------------------------
 
@@ -119,12 +125,17 @@ class SelfplayRunner:
 
     def opponent_move(
         self, bank: OpponentBank, use_best, opp_idx, state: HexState,
-        key: jax.Array, active: jnp.ndarray,
+        key: jax.Array, active: jnp.ndarray, stacked=None,
     ):
         """Opponent acts stochastically with the action mask, like
         ``OpponentPolicy.choose_action`` (``SelfplayWrapper.py:30-32``)."""
-        logits, legal = self.opponent_logits(bank, use_best, opp_idx, state)
-        action = masked.sample(key, logits, legal)
+        if self.pol is not None and stacked is not None:
+            obs = hex_env.observe(self.topo, state)
+            legal = hex_env.legal_mask(self.topo, state)
+            action, _ = self.pol.bank_act(stacked, use_best, opp_idx, obs, legal, key)
+        else:
+            logits, legal = self.opponent_logits(bank, use_best, opp_idx, state)
+            action = masked.sample(key, logits, legal)
         return self.step(self.topo, state, action, active=active)
 
     def first_move_logits(self, bank: OpponentBank):
@@ -144,7 +155,7 @@ class SelfplayRunner:
 
     def reset_finished(
         self, carry: RolloutCarry, bank: OpponentBank, key: jax.Array,
-        first_logits=None,
+        first_logits=None, stacked=None,
     ):
         """Auto-reset done games + seat/opponent redraw + opponent first move."""
         cfg = self.cfg
@@ -177,7 +188,9 @@ class SelfplayRunner:
             action = masked.sample(k_move, logits, legal)
             st, _ = self.step(self.topo, st, action, active=active)
         else:
-            st, _ = self.opponent_move(bank, use_best, opp_idx, st, k_move, active=active)
+            st, _ = self.opponent_move(
+                bank, use_best, opp_idx, st, k_move, active=active, stacked=stacked
+            )
         return RolloutCarry(env=st, agent_seat=seat, use_best=use_best, opp_idx=opp_idx)
 
     # -- entry points ------------------------------------------------------
@@ -188,7 +201,10 @@ class SelfplayRunner:
         st = self.fresh_envs(k_fresh)
         seat = jax.random.bernoulli(k_seat, 0.5, (cfg.n_envs,)).astype(jnp.int32)
         use_best, opp_idx = sample_opponents(k_opp, bank.size, cfg.n_envs, cfg.best_prob)
-        st, _ = self.opponent_move(bank, use_best, opp_idx, st, k_move, active=seat == 1)
+        stacked = self.pol.stack_bank(bank) if self.pol is not None else None
+        st, _ = self.opponent_move(
+            bank, use_best, opp_idx, st, k_move, active=seat == 1, stacked=stacked
+        )
         return RolloutCarry(env=st, agent_seat=seat, use_best=use_best, opp_idx=opp_idx)
 
     def run(
@@ -201,25 +217,35 @@ class SelfplayRunner:
         """
 
         first_logits = None if self.cfg.sample_board else self.first_move_logits(bank)
+        pol = self.pol
+        packed_agent = pol.pack_agent(params["params"]) if pol is not None else None
+        stacked_bank = pol.stack_bank(bank) if pol is not None else None
 
         def body(c: RolloutCarry, k):
             k_agent, k_opp, k_reset = jax.random.split(k, 3)
 
-            obs, legal, logits, value = self.policy_logits_value(params, c.env)
-            action, log_prob = masked.sample_with_info(k_agent, logits, legal)
+            if pol is not None:
+                obs = hex_env.observe(self.topo, c.env)
+                legal = hex_env.legal_mask(self.topo, c.env)
+                res = pol.agent_act(packed_agent, obs, legal, k_agent)
+                action, log_prob, value = res.action, res.log_prob, res.value
+            else:
+                obs, legal, logits, value = self.policy_logits_value(params, c.env)
+                action, log_prob = masked.sample_with_info(k_agent, logits, legal)
             st1, rew1 = self.step(self.topo, c.env, action)
             seat_col = c.agent_seat[:, None]
             r_agent = jnp.take_along_axis(rew1, seat_col, axis=1)[:, 0]
 
             st2, rew2 = self.opponent_move(
-                bank, c.use_best, c.opp_idx, st1, k_opp, active=~st1.done
+                bank, c.use_best, c.opp_idx, st1, k_opp, active=~st1.done,
+                stacked=stacked_bank,
             )
             r_agent = r_agent + jnp.take_along_axis(rew2, seat_col, axis=1)[:, 0]
             done = st2.done
 
             c2 = self.reset_finished(
                 RolloutCarry(st2, c.agent_seat, c.use_best, c.opp_idx), bank,
-                k_reset, first_logits=first_logits,
+                k_reset, first_logits=first_logits, stacked=stacked_bank,
             )
             t = Transition(
                 obs=obs.astype(jnp.int8),

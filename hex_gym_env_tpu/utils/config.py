@@ -66,6 +66,11 @@ class SelfplayConfig:
     # env-step backend inside rollout/eval scans: "auto" picks the fused
     # Pallas kernel on TPU and the composable lax path elsewhere
     env_step_impl: str = "auto"  # "auto" | "lax" | "pallas"
+    # policy-pass backend inside the rollout scan: "auto" fuses the agent
+    # forward+sample and the opponent-bank forward+sample each into one
+    # Pallas launch on TPU (MLP policies; see ops/pallas_policy.py).  The
+    # sampling distribution is identical; the PRNG stream differs from lax.
+    policy_impl: str = "auto"  # "auto" | "lax" | "pallas"
     eval_freq: int = 1000  # agent transitions between evals (per reference script)
     n_eval_episodes: int = 20  # = buffer_size in every reference experiment
     seed: int = 0
