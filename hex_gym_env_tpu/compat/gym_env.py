@@ -275,13 +275,21 @@ class HexEnvV0(_GYM_BASE):
         return int(self._rng.choice(np.flatnonzero(mask)))
 
     def reset(self, seed=None, options=None):
-        self._inner.reset(seed=seed)
-        self._gui_sync()
-        if self.player_color != 0:
-            # opponent (black seat) opens, like HexGame.py:224-230
-            self._inner.step(self._opponent_action())
+        # loop: a GUI restart request (`r`, sentinel -1) during the
+        # opponent's opening move re-resets instead of being fed to the
+        # core as an invalid move (cf. compat/selfplay_wrapper.py restart
+        # handling)
+        while True:
+            self._inner.reset(seed=seed)
             self._gui_sync()
-        return self._world_v0(), {}
+            if self.player_color != 0:
+                # opponent (black seat) opens, like HexGame.py:224-230
+                a = self._opponent_action()
+                if a < 0:
+                    continue
+                self._inner.step(a)
+                self._gui_sync()
+            return self._world_v0(), {}
 
     def legal_actions(self) -> np.ndarray:
         return self._inner.legal_actions()
@@ -297,7 +305,12 @@ class HexEnvV0(_GYM_BASE):
         if w == 3:
             return self._world_v0(), -100.0, True, False, {}
         if not done:
-            _, _, done, _ = self._inner.step(self._opponent_action())
+            opp_a = self._opponent_action()
+            if opp_a < 0:
+                # GUI restart request: end the episode so the caller resets
+                # (same contract as the selfplay wrapper's restart path)
+                return self._world_v0(), 0.0, True, False, {"restart": True}
+            _, _, done, _ = self._inner.step(opp_a)
             self._gui_sync()
             w = self._inner.winner
             if w == 3:  # opponent invalid: episode over, no agent reward

@@ -73,6 +73,11 @@ class Gui:
         pygame.display.set_caption("hex_gym_env_tpu")
         self.font = pygame.font.SysFont(None, max(14, radius // 2))
         self.field_text: Optional[np.ndarray] = None
+        # ratings-overlay visibility: off by default, toggled by the `s`
+        # key (reference gui.py:50 defines it, :131 gates drawing on it,
+        # interactive.py:31-32 flips it).  ``field_text`` persists across
+        # redraws so toggling back on shows the last overlay.
+        self.show_field_text = False
         self.editor_mode = False
         self.update_board(self.board)
 
@@ -138,7 +143,7 @@ class Gui:
                     color = self._cell_color(padded[y, x])
                 pygame.draw.polygon(self.screen, color, verts)
                 pygame.draw.polygon(self.screen, c["lines"], verts, 2)
-        if self.field_text is not None:
+        if self.show_field_text and self.field_text is not None:
             self._draw_field_text()
         pygame.display.flip()
 

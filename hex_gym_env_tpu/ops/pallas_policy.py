@@ -52,10 +52,39 @@ MAX_LANES = 2048
 
 
 def _seed_scalar(key: jax.Array) -> jnp.ndarray:
-    """Fold a typed PRNG key into a (1,) int32 hardware-PRNG seed."""
+    """Expose a typed PRNG key as a (2,) int32 hardware-PRNG seed.
+
+    Both key words are passed through so kernels can seed with the full
+    64 bits (``pltpu.prng_seed(w0, w1, ...)`` mixes all arguments); folding
+    to 32 bits risked birthday collisions across the tens of millions of
+    launches in a long run, and block seeds derived as small additive
+    offsets could overlap between adjacent launches.  Kernels additionally
+    mix ``program_id`` via a multiplicative hash (see ``_block_seed``)."""
     data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    folded = data[0] ^ (data[-1] << 1)
-    return jax.lax.bitcast_convert_type(folded, jnp.int32).reshape(1)
+    w0 = jax.lax.bitcast_convert_type(data[0], jnp.int32)
+    w1 = jax.lax.bitcast_convert_type(data[-1], jnp.int32)
+    return jnp.stack([w0, w1])
+
+
+def _block_seed(stream: int) -> jnp.ndarray:
+    """Per-block seed contribution: multiplicative hash of the grid position
+    (+ a per-kernel stream constant) so adjacent blocks / adjacent launches
+    never land on overlapping hardware-PRNG streams.  XORed into seed word 0
+    (Mosaic caps ``prng_seed`` at two values)."""
+    return (pl.program_id(0) + jnp.int32(stream)) * jnp.int32(-1640531527)  # 2654435769 = golden-ratio hash
+
+
+def _pick_block(B: int, block: int) -> int:
+    """Largest divisor of ``B`` that is <= the requested block size and a
+    multiple of 8 (fp32 sublane); falls back to ``B`` itself only when no
+    such divisor exists.  Grabbing the whole batch as one block (the old
+    fallback) could blow the VMEM budget for large odd-sized batches."""
+    if B % block == 0:
+        return block
+    for b in range(min(block, B), 7, -1):
+        if B % b == 0 and b % 8 == 0:
+            return b
+    return B
 
 
 def _gumbel(bits: jnp.ndarray) -> jnp.ndarray:
@@ -88,7 +117,7 @@ def _agent_kernel(n_layers, H, A, activation, use_device_prng, *refs):
     if use_device_prng:
         seed_ref, obs_ref, legal_ref = refs[:3]
         rest = refs[3:]
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0] ^ _block_seed(stream=1), seed_ref[1])
         bits_ref = None
     else:
         seed_ref, obs_ref, legal_ref, bits_ref = refs[:4]
@@ -151,8 +180,7 @@ def agent_forward_sample(
 ) -> AgentActResult:
     """One launch: agent MLP forward, masked Gumbel sample, logp, value."""
     B, F = obs_flat.shape
-    if B % block:
-        block = B
+    block = _pick_block(B, block)
 
     def const_spec(x):
         return pl.BlockSpec(x.shape, lambda i, *_: (0,) * x.ndim, memory_space=pltpu.VMEM)
@@ -235,7 +263,7 @@ def _bank_kernel(n_layers, H, A, P1, P1c, LW, activation, use_device_prng, *refs
     if use_device_prng:
         seed_ref, obs_ref, legal_ref, idx_ref = refs[:4]
         rest = refs[4:]
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) + 0x5BD1)
+        pltpu.prng_seed(seed_ref[0] ^ _block_seed(stream=2), seed_ref[1])
         bits_ref = None
     else:
         seed_ref, obs_ref, legal_ref, idx_ref, bits_ref = refs[:5]
@@ -304,8 +332,7 @@ def bank_forward_sample(
     Returns ``(action (B,) int32, masked_logits (B, A) float32)``.
     """
     B, F = obs_flat.shape
-    if B % block:
-        block = B
+    block = _pick_block(B, block)
     P1, LW = stacked.n_members, stacked.lanes
     P1c = stacked.tensors[-1].shape[0]
 

@@ -14,9 +14,20 @@ Mirrors the reference's ``SelfPlayCallback`` + eval-mode wrapper:
   improvement (``EvaluationCallback.py:36-48``,
   ``SelfplayWrapper.py:125-137``).
 
-Here all P episodes run as one vmapped batch: env ``i`` plays pool member
-``i``, a fixed-length scan of N^2+1 agent/opponent move pairs covers any
+Here all E = ``n_eval_episodes`` episodes run as one vmapped batch: episode
+``i`` plays pool member ``min(i, P-1)`` — the reference's eval-mode
+``setup_opponents`` serves ``pool[i]`` and keeps the LAST member past the
+end of the buffer (``SelfplayWrapper.py:92-96``), which only matters when
+``n_eval_episodes != buffer_size`` (every reference experiment sets them
+equal).  A fixed-length scan of N^2+1 agent/opponent move pairs covers any
 game (finished games freeze), and the pool mutation happens on device.
+
+Seat protocol: under ``seat_mode="per_episode"`` each eval episode draws a
+fresh agent seat.  Under ``seat_mode="fixed_random"`` (the reference's
+first-reset-only draw, ``SelfplayWrapper.py:72-73``) eval reuses the
+rollout envs' fixed seats — the reference evaluates through the *same* env
+object it trains in, so its eval episodes inherit the training seat; eval
+episode ``i`` here inherits the seat of rollout env ``i mod n_envs``.
 """
 
 from __future__ import annotations
@@ -35,11 +46,36 @@ from hex_gym_env_tpu.utils.config import SelfplayConfig
 
 
 class EvalResult(NamedTuple):
-    rewards: jnp.ndarray  # (P,) final agent reward vs each pool member
+    rewards: jnp.ndarray  # (E,) final agent reward per eval episode
     mean_reward: jnp.ndarray  # ()
     score: jnp.ndarray  # ()
     replaced: jnp.ndarray  # () bool — pool member replaced this eval
     best_score: jnp.ndarray  # () after potential promotion
+
+
+def serve_indices(n_episodes: int, pool_size: int) -> jnp.ndarray:
+    """Pool slot served to each eval episode: ``pool[i]`` then repeat the
+    last member past the buffer end (``SelfplayWrapper.py:92-96``)."""
+    return jnp.minimum(jnp.arange(n_episodes), pool_size - 1)
+
+
+def eval_seats(
+    cfg: SelfplayConfig,
+    key: jax.Array,
+    n_episodes: int,
+    fixed_seats: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Agent seat per eval episode.
+
+    ``fixed_random`` + carry seats: episode ``i`` inherits rollout env
+    ``i mod n_envs``'s seat (the reference evaluates through its training
+    env, so eval inherits the run's fixed seat); otherwise a fresh draw.
+    """
+    if cfg.seat_mode == "fixed_random" and fixed_seats is not None:
+        return fixed_seats[
+            jnp.arange(n_episodes) % fixed_seats.shape[0]
+        ].astype(jnp.int32)
+    return jax.random.bernoulli(key, 0.5, (n_episodes,)).astype(jnp.int32)
 
 
 class Evaluator:
@@ -51,28 +87,39 @@ class Evaluator:
 
         self.step = resolve_step_impl(cfg.env_step_impl)
 
-    def _opponent_logits(self, bank: OpponentBank, state) -> jnp.ndarray:
-        """Member i plays env i: paired vmap over (snapshot_i, obs_i)."""
+    def _opponent_logits(self, served_params: Any, state) -> jnp.ndarray:
+        """Served member i plays episode i: paired vmap over (snapshot_i, obs_i)."""
         obs_f = hex_env.observe(self.topo, state).astype(jnp.float32)
         return jax.vmap(
             lambda v, o: self.model.apply(v, o[None])[0][0]
-        )(bank.params, obs_f)
+        )(served_params, obs_f)
 
-    def play_vs_pool(self, params: Any, bank: OpponentBank, key: jax.Array) -> jnp.ndarray:
-        """One episode vs each pool member; returns (P,) final agent rewards."""
+    def play_vs_pool(
+        self,
+        params: Any,
+        bank: OpponentBank,
+        key: jax.Array,
+        fixed_seats: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """``n_eval_episodes`` episodes against the served pool sequence;
+        returns (E,) final agent rewards.  ``fixed_seats`` (the rollout
+        carry's per-env seats) drives the seat assignment under
+        ``seat_mode="fixed_random"``."""
         topo, cfg = self.topo, self.cfg
         P = bank.size
+        E = cfg.eval_episodes
+        served = jax.tree.map(lambda x: x[serve_indices(E, P)], bank.params)
         k_board, k_seat, k_first, k_play = jax.random.split(key, 4)
 
         if cfg.sample_board:
-            boards = random_board.sample_boards(k_board, topo, P)
+            boards = random_board.sample_boards(k_board, topo, E)
             state = hex_env.state_from_boards(topo, boards)
         else:
-            state = hex_env.initial_state(topo, P)
-        seat = jax.random.bernoulli(k_seat, 0.5, (P,)).astype(jnp.int32)
+            state = hex_env.initial_state(topo, E)
+        seat = eval_seats(cfg, k_seat, E, fixed_seats)
 
         def opponent_move(st, k, active):
-            logits = self._opponent_logits(bank, st)
+            logits = self._opponent_logits(served, st)
             legal = hex_env.legal_mask(topo, st)
             a = masked.sample(k, logits, legal)
             return self.step(topo, st, a, active=active)
@@ -97,15 +144,19 @@ class Evaluator:
 
         n_pairs = topo.num_cells // 2 + 2
         (state, total), _ = jax.lax.scan(
-            body, (state, jnp.zeros((P,), jnp.float32)), jax.random.split(k_play, n_pairs)
+            body, (state, jnp.zeros((E,), jnp.float32)), jax.random.split(k_play, n_pairs)
         )
         return total
 
     def eval_and_update(
-        self, params: Any, bank: OpponentBank, key: jax.Array
+        self,
+        params: Any,
+        bank: OpponentBank,
+        key: jax.Array,
+        fixed_seats: jnp.ndarray | None = None,
     ) -> tuple[OpponentBank, EvalResult]:
         k_play, k_slot = jax.random.split(key)
-        rewards = self.play_vs_pool(params, bank, k_play)
+        rewards = self.play_vs_pool(params, bank, k_play, fixed_seats=fixed_seats)
         mean_reward = rewards.mean()
         score = mean_reward * jnp.exp(jnp.mean(bank.scores) - 1.0)
         do_replace = (mean_reward > 0) & (score > jnp.min(bank.scores))

@@ -255,7 +255,9 @@ class SelfplayPPO:
             def skip_eval(st: TrainState):
                 zero = jnp.zeros((), jnp.float32)
                 dummy = EvalResult(
-                    rewards=jnp.zeros((st.bank.size,), jnp.float32),
+                    rewards=jnp.zeros(
+                        (self.cfg.selfplay.eval_episodes,), jnp.float32
+                    ),
                     mean_reward=zero,
                     score=zero,
                     replaced=jnp.zeros((), bool),
@@ -272,7 +274,10 @@ class SelfplayPPO:
 
     def eval_step(self, state: TrainState):
         key, k_eval = jax.random.split(state.key)
-        bank, result = self.evaluator.eval_and_update(state.params, state.bank, k_eval)
+        bank, result = self.evaluator.eval_and_update(
+            state.params, state.bank, k_eval,
+            fixed_seats=state.carry.agent_seat,
+        )
         return (
             state.replace(bank=bank, key=key, eval_accum=jnp.zeros((), jnp.int32)),
             result,

@@ -72,8 +72,15 @@ class SelfplayConfig:
     # sampling distribution is identical; the PRNG stream differs from lax.
     policy_impl: str = "auto"  # "auto" | "lax" | "pallas"
     eval_freq: int = 1000  # agent transitions between evals (per reference script)
-    n_eval_episodes: int = 20  # = buffer_size in every reference experiment
+    # eval episodes per eval pass; None -> buffer_size (what every reference
+    # experiment sets).  Values past buffer_size replay the last pool member
+    # (SelfplayWrapper.py:92-96 serve-then-repeat-last semantics).
+    n_eval_episodes: int | None = None
     seed: int = 0
+
+    @property
+    def eval_episodes(self) -> int:
+        return self.buffer_size if self.n_eval_episodes is None else self.n_eval_episodes
 
 
 @dataclasses.dataclass(frozen=True)

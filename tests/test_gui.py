@@ -210,3 +210,66 @@ def test_selfplay_wrapper_gui_restart_and_undo(monkeypatch):
         assert done and info.get("restart") is True
     finally:
         pygame.quit()
+
+
+def _patch_has_text(gui, y, x) -> bool:
+    """True when the text color appears near cell (y, x)'s center."""
+    cx, cy = gui.get_center(y + 1, x + 1)
+    text = gui.colors["text"]
+    for dy in range(-8, 9, 2):
+        for dx in range(-8, 9, 2):
+            if gui.screen.get_at((int(cx) + dx, int(cy) + dy))[:3] == text:
+                return True
+    return False
+
+
+def test_ratings_toggle_through_choose_action():
+    """Press `s` twice mid-game through InteractiveGame.choose_action (the
+    path that used to crash): overlay appears, then disappears, no exception
+    (reference gui.py:50,131-136 + interactive.py:31-32)."""
+    board = np.zeros((4, 4), dtype=int)
+    game = InteractiveGame(board, radius=30, dark_mode=False)
+    try:
+        gui = game.gui
+        # overlay data present but hidden by default
+        gui.update_field_text(np.linspace(0, 1, 16), board)
+        assert gui.show_field_text is False
+        assert not _patch_has_text(gui, 0, 0)
+        # `s` toggles the overlay on; the click ends the wait loop
+        _post_key(pygame.K_s)
+        _post_click(gui, 2, 1)
+        assert game.choose_action(board) == 2 * 4 + 1
+        assert gui.show_field_text is True
+        assert _patch_has_text(gui, 0, 0)
+        # field_text persists across redraws; `s` again hides it
+        _post_key(pygame.K_s)
+        _post_click(gui, 2, 2)
+        assert game.choose_action(board) == 2 * 4 + 2
+        assert gui.show_field_text is False
+        assert gui.field_text is not None
+        assert not _patch_has_text(gui, 0, 0)
+    finally:
+        pygame.quit()
+
+
+def test_hex_v0_interactive_restart_resets_episode():
+    """The `r` key during the opponent's turn in `hex-v0` interactive mode
+    must end the episode as a restart request, not feed the -1 sentinel to
+    the core as an invalid move."""
+    from hex_gym_env_tpu.compat.gym_env import HexEnvV0
+
+    env = HexEnvV0(board_size=4, opponent_policy="interactive")
+    try:
+        obs, _ = env.reset()
+        # agent (black) moves; human opponent presses `r`
+        _post_key(pygame.K_r)
+        obs, reward, done, truncated, info = env.step(0)
+        assert done and info.get("restart")
+        assert reward == 0.0
+        # a fresh reset plays normally afterwards
+        _post_click(env._interactive.gui, 1, 1)
+        obs, _ = env.reset()
+        obs, reward, done, truncated, info = env.step(0)
+        assert not info.get("restart")
+    finally:
+        pygame.quit()

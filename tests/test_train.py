@@ -93,7 +93,10 @@ def test_bank_replace_and_promote():
 
 
 def _small_cfg(**kw):
-    sp = dict(board_size=5, n_envs=16, buffer_size=4, policy="MLP-default", seed=0)
+    sp = dict(
+        board_size=5, n_envs=16, buffer_size=4, n_eval_episodes=4,
+        policy="MLP-default", seed=0,
+    )
     sp.update(kw.pop("selfplay", {}))
     ppo_kw = dict(n_steps=32, minibatch_size=64, n_epochs=2)
     ppo_kw.update(kw.pop("ppo", {}))
@@ -275,3 +278,64 @@ def test_cnn_policy_trains():
     # eval path also works with full variables
     state, result = jax.jit(algo.eval_step)(state)
     assert np.isfinite(float(result.mean_reward))
+
+
+def test_eval_serve_order_repeats_last_member():
+    """Eval serves pool[i] then repeats the LAST member past the buffer end
+    (SelfplayWrapper.py:92-96) — the n_eval_episodes knob is real."""
+    from hex_gym_env_tpu.train.evaluate import serve_indices
+
+    np.testing.assert_array_equal(
+        np.asarray(serve_indices(6, 4)), [0, 1, 2, 3, 3, 3]
+    )
+    np.testing.assert_array_equal(np.asarray(serve_indices(3, 4)), [0, 1, 2])
+
+
+def test_eval_seats_follow_protocol():
+    """fixed_random eval inherits the rollout envs' fixed seats; per_episode
+    redraws."""
+    from hex_gym_env_tpu.train.evaluate import eval_seats
+    from hex_gym_env_tpu.utils.config import SelfplayConfig
+
+    fixed = jnp.array([0, 1, 1, 0], jnp.int32)
+    cfg = SelfplayConfig(board_size=5, n_envs=4, seat_mode="fixed_random")
+    seats = np.asarray(eval_seats(cfg, jax.random.key(0), 6, fixed))
+    np.testing.assert_array_equal(seats, [0, 1, 1, 0, 0, 1])  # tiled carry seats
+
+    cfg_pe = SelfplayConfig(board_size=5, n_envs=4, seat_mode="per_episode")
+    a = np.asarray(eval_seats(cfg_pe, jax.random.key(1), 64, fixed))
+    b = np.asarray(eval_seats(cfg_pe, jax.random.key(2), 64, fixed))
+    assert set(np.unique(a)).issubset({0, 1}) and not np.array_equal(a, b)
+
+
+def test_eval_step_seat_stability_under_fixed_random():
+    """Across consecutive evals of a strict-protocol run the eval seats stay
+    pinned to the carry's fixed seats (they never redraw)."""
+    cfg = _small_cfg(selfplay=dict(seat_mode="fixed_random"))
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    seats0 = np.asarray(state.carry.agent_seat)
+    step = jax.jit(algo.train_step)
+    ev = jax.jit(algo.eval_step)
+    state, _ = step(state)
+    state, r1 = ev(state)
+    state, _ = step(state)
+    state, r2 = ev(state)
+    # the carry seats never moved (fixed_random), and eval consumed them
+    np.testing.assert_array_equal(np.asarray(state.carry.agent_seat), seats0)
+    assert r1.rewards.shape == (cfg.selfplay.eval_episodes,)
+    assert r2.rewards.shape == (cfg.selfplay.eval_episodes,)
+
+
+def test_n_eval_episodes_shapes_flow_through_fused_span():
+    """n_eval_episodes != buffer_size flows through eval_step and the fused
+    train_and_eval_steps span without shape mismatches."""
+    cfg = _small_cfg(selfplay=dict(n_eval_episodes=7, eval_freq=512))
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    state, result = jax.jit(algo.eval_step)(state)
+    assert result.rewards.shape == (7,)
+    state, (m, r, did) = jax.jit(
+        algo.train_and_eval_steps, static_argnums=1
+    )(state, 2)
+    assert r.rewards.shape == (2, 7)
