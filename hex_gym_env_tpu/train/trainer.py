@@ -34,9 +34,18 @@ from hex_gym_env_tpu.utils.metrics import MetricsLogger
 
 
 class Trainer:
-    def __init__(self, cfg: TrainConfig, logger: Optional[MetricsLogger] = None):
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        logger: Optional[MetricsLogger] = None,
+        algo: Optional[SelfplayPPO] = None,
+    ):
+        """``algo`` swaps in a different training program (e.g.
+        ``parallel.DistributedSelfplayPPO``) — the Trainer jit-wraps whatever
+        it is given, so distributed runs are first-class rather than a
+        post-construction field overwrite."""
         self.cfg = cfg
-        self.algo = SelfplayPPO(cfg)
+        self.algo = SelfplayPPO(cfg) if algo is None else algo
         if logger is not None:
             self.logger = logger
         elif is_main_process():

@@ -48,6 +48,12 @@ def main() -> None:
                     default=None,
                     help="PPO epoch-sweep backend; auto fuses the sweep into "
                          "one Pallas kernel on TPU for MLP policies")
+    ap.add_argument("--policy-impl", choices=["auto", "lax", "pallas"],
+                    default=None,
+                    help="rollout policy-pass backend; auto uses the fused "
+                         "Pallas kernels with the TPU hardware PRNG (same "
+                         "sampling distribution as lax, DIFFERENT stream — "
+                         "pin 'lax' for cross-backend bit-reproducibility)")
     ap.add_argument("--model-name", default=None,
                     help="override the run/checkpoint directory name")
     ap.add_argument("--seed-pool", default=None,
@@ -93,6 +99,8 @@ def main() -> None:
         overrides["env_step_impl"] = args.env_step_impl
     if args.update_impl is not None:
         overrides["update_impl"] = args.update_impl
+    if args.policy_impl is not None:
+        overrides["policy_impl"] = args.policy_impl
     if args.model_name is not None:
         overrides["model_name"] = args.model_name
     cfg = get_config(args.experiment, **overrides)
@@ -105,13 +113,7 @@ def main() -> None:
         from hex_gym_env_tpu.parallel import DistributedSelfplayPPO, make_mesh
 
         mesh = make_mesh()
-        trainer = Trainer(cfg)
-        trainer.algo = DistributedSelfplayPPO(cfg, mesh)
-        trainer.train_step = jax.jit(trainer.algo.train_step, donate_argnums=0)
-        trainer.eval_step = jax.jit(trainer.algo.eval_step)
-        trainer.train_span = jax.jit(
-            trainer.algo.train_and_eval_steps, static_argnums=1, donate_argnums=0
-        )
+        trainer = Trainer(cfg, algo=DistributedSelfplayPPO(cfg, mesh))
         state = (
             trainer.algo.shard_state(trainer.resume())
             if args.resume
@@ -120,6 +122,16 @@ def main() -> None:
     else:
         trainer = Trainer(cfg)
         state = trainer.resume() if args.resume else None
+
+    # Loud reproducibility note (auto impl selection is backend-dependent):
+    # a fixed-seed run is only bit-reproducible across backends when the
+    # rollout sampling stream is pinned (policy_impl="lax"); on TPU "auto"
+    # selects the hardware-PRNG Pallas kernels (same distribution,
+    # different stream).  Strict presets pin "lax".
+    if cfg.selfplay.policy_impl == "auto" and jax.default_backend() == "tpu":
+        print("note: policy_impl=auto -> Pallas hardware-PRNG sampling on "
+              "TPU (distribution-identical to lax, different stream; pin "
+              "--policy-impl lax for cross-backend bit-reproducibility)")
 
     if args.seed_pool:
         from hex_gym_env_tpu.models.loading import load_policy_params

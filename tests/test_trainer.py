@@ -118,3 +118,54 @@ def test_timesteps_counter_supports_past_int32(tmp_path):
     got = trainer.algo.timesteps(state)
     assert got == 40_000_000 * 128
     assert got > 2**31
+
+
+def test_distributed_trainer_e2e_fit_ckpt_resume(tmp_path):
+    """First-class distributed Trainer (VERDICT r2 item 5): Trainer.fit over
+    DistributedSelfplayPPO on the 8-device mesh with iters_per_dispatch=3 —
+    eval cadence, checkpointing, and resume all through the public
+    constructor (no field overwrites)."""
+    import jax
+
+    from hex_gym_env_tpu.parallel import DistributedSelfplayPPO, make_mesh
+
+    cfg = _cfg(tmp_path, total=6 * 16 * 8, ckpt_every=384)
+    # 64 envs over 8 devices -> 8 local envs x 8 steps = 64 per-device rows
+    cfg = dataclasses.replace(
+        cfg,
+        model_name="dist_trainer_test", iters_per_dispatch=3,
+        selfplay=dataclasses.replace(cfg.selfplay, n_envs=64, eval_freq=1024),
+        total_timesteps=6 * 64 * 8, checkpoint_every=3 * 64 * 8,
+    )
+    mesh = make_mesh()
+    trainer = Trainer(cfg, algo=DistributedSelfplayPPO(cfg, mesh))
+    assert trainer.algo is not None and trainer.algo.mesh is mesh
+    state = trainer.algo.init_sharded_state(jax.random.key(cfg.selfplay.seed))
+    state = trainer.fit(state)
+    assert trainer.algo.timesteps(state) == cfg.total_timesteps
+
+    # eval cadence identical to the single-device drivers (eval_freq = 2
+    # iterations of 512)
+    recs = _records(cfg)
+    train_recs = [r for r in recs if "rollout/ep_rew_mean" in r]
+    assert [r["step"] for r in train_recs] == [512 * i for i in range(1, 7)]
+    eval_steps = [r["step"] for r in train_recs if "eval/mean_reward" in r]
+    assert eval_steps == [1024, 2048, 3072]
+
+    # checkpoint landed between supersteps; resume restores and continues
+    assert trainer._ckpt_mgr().latest_step() == 3072
+    cfg2 = dataclasses.replace(cfg, total_timesteps=9 * 64 * 8)
+    trainer2 = Trainer(
+        cfg2,
+        logger=MetricsLogger(cfg2.log_dir, cfg2.model_name),
+        algo=DistributedSelfplayPPO(cfg2, mesh),
+    )
+    state2 = trainer2.algo.shard_state(trainer2.resume())
+    assert trainer2.algo.timesteps(state2) == 3072
+    state2 = trainer2.fit(state2)
+    assert trainer2.algo.timesteps(state2) == 9 * 64 * 8
+    # params stay bitwise-replicated across the mesh after resume + fit
+    leaf = jax.tree.leaves(state2.params)[0]
+    vals = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for v in vals[1:]:
+        np.testing.assert_array_equal(v, vals[0])
