@@ -47,8 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 from hex_gym_env_tpu.ops.masked import MASKED_LOGIT
 from hex_gym_env_tpu.ops.pallas_ppo import _pack_params
 
-# largest stacked-bank lane width the kernel will pack: (P+1)*H <= MAX_LANES
-MAX_LANES = 2048
+# largest stacked-bank lane width the kernels will pack: (P+1)*H <= MAX_LANES.
+# VMEM check at the cap (H=64, A<=121, f32): stacked tensors ~5.3MB (the
+# (LW, H) / (LW, A) stacks lane-pad to 128) + a (256, LW) activation slab
+# ~4.4MB — comfortably inside the 16MB budget for the standalone bank kernel;
+# the whole-rollout kernel (ops/pallas_rollout.py) additionally row-chunks
+# its activation slabs to 128 rows.  Notably this admits the reference's
+# buffer_size=64 experiments ((64+1)*64 = 4160).
+MAX_LANES = 4224
 
 
 def _seed_scalar(key: jax.Array) -> jnp.ndarray:

@@ -116,11 +116,25 @@ def _unpack_params(packed: list, like: dict, n_layers: int, H: int, A: int) -> d
     return out
 
 
-def _make_kernel(cfg: PPOConfig, n_layers: int, H: int, A: int, activation: str, mb: int):
+def _make_kernel(
+    cfg: PPOConfig, n_layers: int, H: int, A: int, activation: str, mb: int,
+    fast: bool = False,
+):
     """Kernel body over packed tensors.  Ref layout (inputs then outputs):
-    [t0, obs, legal, act, lpold, adv, ret,
+    [t0, obs, act, lpold, adv, ret,
      in_p(2*(L+1)), in_m(...), in_v(...),
-     out_p(...), out_m(...), out_v(...), stats]."""
+     out_p(...), out_m(...), out_v(...), stats].
+
+    ``fast=True`` is the ``update_impl='pallas-fast'`` layout: the grid is
+    driven by two scalar-prefetch arrays (the per-epoch minibatch-block
+    order and t0), and the per-row scalars arrive as ONE pre-shuffled
+    (mb, 4) float stream ``[action, logp_old, adv, ret]`` (the action is
+    exact in f32 — A <= 2^24).
+
+    The legal mask is derived in-kernel as ``obs == 0``: selfplay batches
+    are mover-frame boards whose legal actions are exactly the empty cells
+    (``HexSingleGame.py:205-206``), so streaming a separate legal plane
+    from HBM (and gathering it per minibatch) would be pure waste."""
     n_t = 2 * (n_layers + 1)  # packed tensors per tree (W+b per layer + head)
     b1, b2 = 0.9, 0.999
     lr = cfg.learning_rate
@@ -148,8 +162,12 @@ def _make_kernel(cfg: PPOConfig, n_layers: int, H: int, A: int, activation: str,
         return (((r < H) & (c < A)) | ((r >= H) & (c >= A))).astype(jnp.float32)
 
     def kernel(*refs):
-        (t0_ref, obs_ref, legal_ref, act_ref, lpold_ref, adv_ref, ret_ref) = refs[:7]
-        rest = list(refs[7:])
+        if fast:
+            (order_ref, t0_ref, obs_ref, flt_ref) = refs[:4]
+            rest = list(refs[4:])
+        else:
+            (t0_ref, obs_ref, act_ref, lpold_ref, adv_ref, ret_ref) = refs[:6]
+            rest = list(refs[6:])
         in_p = rest[0 * n_t : 1 * n_t]
         in_m = rest[1 * n_t : 2 * n_t]
         in_v = rest[2 * n_t : 3 * n_t]
@@ -166,11 +184,18 @@ def _make_kernel(cfg: PPOConfig, n_layers: int, H: int, A: int, activation: str,
                 dst[:] = src[:]
 
         x = obs_ref[0].astype(jnp.float32)  # (mb, F)
-        legal = legal_ref[0].astype(jnp.float32)  # (mb, A)
-        a_col = act_ref[0]  # (mb, 1) int32
-        lp_old = lpold_ref[0]  # (mb, 1)
-        adv_raw = adv_ref[0]  # (mb, 1)
-        ret = ret_ref[0]  # (mb, 1)
+        legal = (x == 0.0).astype(jnp.float32)  # (mb, A) — empty cells
+        if fast:
+            flt = flt_ref[0]  # (mb, 4) [action, logp_old, adv, ret]
+            a_col = flt[:, 0:1].astype(jnp.int32)
+            lp_old = flt[:, 1:2]
+            adv_raw = flt[:, 2:3]
+            ret = flt[:, 3:4]
+        else:
+            a_col = act_ref[0]  # (mb, 1) int32
+            lp_old = lpold_ref[0]  # (mb, 1)
+            adv_raw = adv_ref[0]  # (mb, 1)
+            ret = ret_ref[0]  # (mb, 1)
 
         P = [r[:] for r in out_p]
 
@@ -290,7 +315,8 @@ def _make_kernel(cfg: PPOConfig, n_layers: int, H: int, A: int, activation: str,
         # ---- Adam (optax scale_by_adam + scale(-lr)) ----
         # b**t as exp(t*ln b): Mosaic has no powf lowering; fp32-identical
         # for these decay constants at any realistic step count
-        t = (t0_ref[0, 0] + step + 1).astype(jnp.float32)
+        t0 = t0_ref[0] if fast else t0_ref[0, 0]
+        t = (t0 + step + 1).astype(jnp.float32)
         bc1 = 1.0 - jnp.exp(t * ln_b1)
         bc2 = 1.0 - jnp.exp(t * ln_b2)
         for j in range(n_t):
@@ -362,9 +388,9 @@ def make_pallas_update_fn(model, cfg: PPOConfig, interpret: bool = False):
         perms = jax.vmap(lambda k: jax.random.permutation(k, n))(epoch_keys)
         idx = perms[:, : n_mb * mbs].reshape(G, mbs)
 
-        # int8 boards/masks keep the big gathers and the HBM stream 4x lean
+        # int8 boards keep the big gather and the HBM stream 4x lean; the
+        # legal mask is derived in-kernel from the board (see _make_kernel)
         obs = batch.obs.reshape(n, -1).astype(jnp.int8)[idx]  # (G, mb, F)
-        legal = batch.legal.astype(jnp.int8)[idx]  # (G, mb, A)
         act = batch.action.astype(jnp.int32)[idx][..., None]  # (G, mb, 1)
         lpold = batch.log_prob_old[idx][..., None]
         adv = batch.advantage[idx][..., None]
@@ -394,7 +420,7 @@ def make_pallas_update_fn(model, cfg: PPOConfig, interpret: bool = False):
         in_specs = (
             [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
             + [
-                stream_spec(F), stream_spec(A), stream_spec(1),
+                stream_spec(F), stream_spec(1),
                 stream_spec(1), stream_spec(1), stream_spec(1),
             ]
             + tensor_specs * 3
@@ -419,7 +445,169 @@ def make_pallas_update_fn(model, cfg: PPOConfig, interpret: bool = False):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(t0, obs, legal, act, lpold, adv, ret, *p_flat, *m_flat, *v_flat)
+        )(t0, obs, act, lpold, adv, ret, *p_flat, *m_flat, *v_flat)
+
+        new_p = results[0 * n_t : 1 * n_t]
+        new_m = results[1 * n_t : 2 * n_t]
+        new_v = results[2 * n_t : 3 * n_t]
+        stats_all = results[3 * n_t].reshape(G, N_STATS)
+
+        new_params = _unpack_params(new_p, params, n_layers, H, A)
+        new_adam = adam_state._replace(
+            count=count0 + G,
+            mu=_unpack_params(new_m, params, n_layers, H, A),
+            nu=_unpack_params(new_v, params, n_layers, H, A),
+        )
+        new_opt_state = (clip_state, (new_adam, lr_state))
+
+        mean = stats_all.mean(axis=0)
+        stats = ppo.PPOStats(
+            policy_loss=mean[0],
+            value_loss=mean[1],
+            entropy=mean[2],
+            approx_kl=mean[3],
+            clip_frac=mean[4],
+        )
+        return {"params": new_params}, new_opt_state, stats
+
+    return update
+
+
+# ---------------------------------------------------------------------------
+# "pallas-fast": shuffle-once sweep with a prefetched minibatch-block order
+# ---------------------------------------------------------------------------
+
+
+def fast_schedule(key: jax.Array, n: int, mbs: int, n_epochs: int):
+    """The ``pallas-fast`` minibatch schedule: ONE uniform row permutation
+    per sweep partitioning the batch into ``n/mbs`` minibatch blocks, plus a
+    fresh random visit ORDER of those blocks per epoch.
+
+    This is the documented deviation from SB3's per-epoch full reshuffle
+    (whose ten 65k-element sort-based permutations plus per-minibatch
+    gathers cost more device time than the entire gradient math):
+    minibatch COMPOSITION is fixed across the epochs of one update (fresh
+    every update, since every rollout re-derives the key), only the visit
+    order varies.  "Shuffle-once" SGD is a standard, well-studied variant
+    with indistinguishable convergence at these scales; strict SB3-parity
+    presets pin ``update_impl='lax'`` and are unaffected.
+
+    Returns ``(rowperm (n,), order (n_epochs * n/mbs,) int32)``.
+    """
+    n_mb = n // mbs
+    k_row, k_order = jax.random.split(key)
+    rowperm = jax.random.permutation(k_row, n)
+    order = jax.vmap(lambda k: jax.random.permutation(k, n_mb))(
+        jax.random.split(k_order, n_epochs)
+    ).reshape(-1).astype(jnp.int32)
+    return rowperm, order
+
+
+def make_pallas_fast_update_fn(model, cfg: PPOConfig, interpret: bool = False):
+    """``update_impl='pallas-fast'``: the fused sweep kernel fed by the
+    ``fast_schedule`` stream — one row shuffle per sweep, zero per-minibatch
+    gathers (the kernel's input pipeline follows a scalar-prefetched block
+    order), one packed (mb, 4) float stream for the per-row scalars.
+
+    Same kernel math, optimizer semantics, and opt_state structure as
+    ``make_pallas_update_fn``; only the minibatch index stream deviates
+    (see ``fast_schedule``).  Per-grad-step equality against a lax/optax
+    replay of the same schedule is pinned by ``tests/test_pallas_ppo.py``.
+    """
+    from hex_gym_env_tpu.models.mlp import MlpPolicy
+    import flax.linen as nn
+
+    if not isinstance(model, MlpPolicy):  # pragma: no cover - caller gates
+        raise ValueError("pallas PPO sweep supports plain MlpPolicy only")
+    if tuple(model.pi_layers) != tuple(model.vf_layers) or len(set(model.pi_layers)) != 1:
+        raise ValueError(
+            "pallas PPO sweep packs equal-width pi/vf towers; got "
+            f"pi={model.pi_layers} vf={model.vf_layers}"
+        )
+    activation = "relu" if model.activation is nn.relu else "tanh"
+    n_layers = len(model.pi_layers)
+    H = model.pi_layers[0]
+    A = model.n_actions
+
+    def update(variables: Any, opt_state, batch: ppo.PPOBatch, key: jax.Array):
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        if extra:  # pragma: no cover - caller gates (BatchNorm etc.)
+            raise ValueError("pallas PPO sweep supports parameter-only models")
+
+        n = batch.action.shape[0]
+        mbs = cfg.minibatch_size
+        n_mb = n // mbs
+        G = cfg.n_epochs * n_mb
+        F = batch.obs.reshape(n, -1).shape[-1]
+
+        rowperm, order = fast_schedule(key, n, mbs, cfg.n_epochs)
+        obs = (
+            batch.obs.reshape(n, -1).astype(jnp.int8)[rowperm].reshape(n_mb, mbs, F)
+        )
+        flt = jnp.stack(
+            [
+                batch.action.astype(jnp.float32),
+                batch.log_prob_old,
+                batch.advantage,
+                batch.ret,
+            ],
+            axis=1,
+        )[rowperm].reshape(n_mb, mbs, 4)
+
+        clip_state, (adam_state, lr_state) = opt_state
+        count0 = adam_state.count
+
+        p_flat = _pack_params(params, n_layers, H, A)
+        m_flat = _pack_params(adam_state.mu, n_layers, H, A)
+        v_flat = _pack_params(adam_state.nu, n_layers, H, A)
+        n_t = len(p_flat)
+
+        def const_spec(x):
+            return pl.BlockSpec(
+                x.shape, lambda i, *_: (0,) * x.ndim, memory_space=pltpu.VMEM
+            )
+
+        def stream_spec(last):
+            return pl.BlockSpec(
+                (1, mbs, last),
+                lambda i, order, t0: (order[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        tensor_specs = [const_spec(x) for x in p_flat]
+        in_specs = [stream_spec(F), stream_spec(4)] + tensor_specs * 3
+        out_specs = tensor_specs * 3 + [
+            pl.BlockSpec(
+                (1, 1, N_STATS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        tensor_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in p_flat]
+        out_shape = tensor_shapes * 3 + [
+            jax.ShapeDtypeStruct((G, 1, N_STATS), jnp.float32)
+        ]
+
+        kernel, _ = _make_kernel(cfg, n_layers, H, A, activation, mbs, fast=True)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        results = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            order,
+            count0.reshape(1).astype(jnp.int32),
+            obs,
+            flt,
+            *p_flat,
+            *m_flat,
+            *v_flat,
+        )
 
         new_p = results[0 * n_t : 1 * n_t]
         new_m = results[1 * n_t : 2 * n_t]

@@ -90,9 +90,30 @@ class SelfplayRunner:
         # fused policy-pass kernels (None -> composable lax path).  One
         # Pallas launch each for agent forward+sample and bank forward+sample
         # instead of ~20 small XLA kernels per pass (ops/pallas_policy.py).
-        from hex_gym_env_tpu.ops import pallas_policy
+        from hex_gym_env_tpu.ops import pallas_policy, pallas_rollout
 
         self.pol = pallas_policy.resolve_policy_ops(model, cfg)
+        # whole-rollout mega-kernel (None -> per-step scan).  All T steps in
+        # ONE Pallas launch (ops/pallas_rollout.py); ~5 launches + XLA glue
+        # per transition otherwise.
+        self.fused_pol = None
+        impl = getattr(cfg, "rollout_impl", "auto")
+        if impl not in ("auto", "scan", "fused"):
+            raise ValueError(
+                f"rollout_impl must be one of 'auto'/'scan'/'fused', got {impl!r}"
+            )
+        on_tpu = jax.default_backend() == "tpu"
+        if impl == "fused" or (impl == "auto" and on_tpu):
+            if pallas_rollout.supported(model, cfg):
+                self.fused_pol = pallas_policy.PolicyOps(
+                    model, interpret=not on_tpu
+                )
+            elif impl == "fused":
+                raise ValueError(
+                    "rollout_impl='fused' requires a plain equal-tower "
+                    "MlpPolicy, a bank that fits the stacked-lane packing, "
+                    "and sample_board=False"
+                )
 
     # -- helpers -----------------------------------------------------------
 
@@ -207,6 +228,74 @@ class SelfplayRunner:
         )
         return RolloutCarry(env=st, agent_seat=seat, use_best=use_best, opp_idx=opp_idx)
 
+    def run_fused(
+        self, params: Any, bank: OpponentBank, carry: RolloutCarry,
+        key: jax.Array, n_steps: int,
+    ):
+        """Whole-rollout mega-kernel path (``ops/pallas_rollout``): all
+        ``n_steps`` transitions in ONE Pallas launch.  Same distribution as
+        the scan path; hardware-PRNG stream (the ``policy_impl='pallas'``
+        deviation).  Trajectory-level semantics are replay-verified against
+        the lax env ops in ``tests/test_pallas_rollout.py``."""
+        from hex_gym_env_tpu.core.state import HexState, Winner
+        from hex_gym_env_tpu.ops import pallas_rollout as pr
+
+        pol = self.fused_pol
+        packed = pol.pack_agent(params["params"])
+        stacked = pol.stack_bank(bank)
+        n = self.topo.n
+        # opening-move logits table: each member's logits on the empty board
+        # (constant within a rollout; see first_move_logits above)
+        empty_b = jnp.zeros((1, n, n), jnp.float32)
+        members = jax.vmap(lambda v: self.model.apply(v, empty_b)[0][0])(bank.params)
+        best = self.model.apply(bank.best_params, empty_b)[0][0]
+        ft = jnp.concatenate([members, best[None]], axis=0)  # (P1, A)
+        P1 = stacked.n_members
+        P1c = stacked.tensors[-1].shape[0]
+        ft = jnp.pad(ft.astype(jnp.float32), ((0, P1c - P1), (0, 0)))
+
+        out = pr.fused_rollout(
+            self.topo, pol, packed, stacked.tensors, ft, carry.env,
+            dict(
+                n_members=P1,
+                agent_seat=carry.agent_seat,
+                use_best=carry.use_best,
+                opp_idx=carry.opp_idx,
+            ),
+            key, n_steps, self.cfg.best_prob,
+            self.cfg.seat_mode == "per_episode",
+            interpret=pol.interpret,
+        )
+        F = self.topo.num_cells
+        obs_cells = out.obs[:, :, :F]
+        tr = Transition(
+            obs=obs_cells.astype(jnp.int8).reshape(n_steps, -1, n, n),
+            legal=obs_cells == 0,
+            action=out.ints[..., pr.I_ACTION],
+            log_prob=out.flts[..., pr.F_LOGP],
+            value=out.flts[..., pr.F_VALUE],
+            reward=out.flts[..., pr.F_REWARD],
+            done=out.ints[..., pr.I_DONE] != 0,
+        )
+        B = carry.env.batch_size
+        env2 = HexState(
+            stones=jnp.stack([out.s0 != 0, out.s1 != 0], axis=1),
+            labels=out.labels,
+            to_move=out.meta[:, pr.M_TO_MOVE],
+            done=out.meta[:, pr.M_DONE] != 0,
+            winner=jnp.full((B,), int(Winner.ONGOING), jnp.int32),
+            empty=out.meta[:, pr.M_EMPTY],
+            move_count=out.meta[:, pr.M_MOVES],
+        )
+        carry2 = RolloutCarry(
+            env=env2,
+            agent_seat=out.meta[:, pr.M_SEAT],
+            use_best=out.meta[:, pr.M_USE_BEST] != 0,
+            opp_idx=out.meta[:, pr.M_OPP_IDX],
+        )
+        _, _, _, last_values = self.policy_logits_value(params, env2)
+        return carry2, tr, last_values
+
     def run(
         self, params: Any, bank: OpponentBank, carry: RolloutCarry,
         key: jax.Array, n_steps: int,
@@ -215,6 +304,8 @@ class SelfplayRunner:
 
         Returns (carry', transitions (T, ...), last_values (B,)).
         """
+        if self.fused_pol is not None:
+            return self.run_fused(params, bank, carry, key, n_steps)
 
         first_logits = None if self.cfg.sample_board else self.first_move_logits(bank)
         pol = self.pol

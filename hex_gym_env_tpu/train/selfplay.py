@@ -66,14 +66,25 @@ class SelfplayPPO:
         from hex_gym_env_tpu.ops import pallas_ppo
 
         impl = self.cfg.ppo.update_impl
-        if impl not in ("auto", "lax", "pallas"):
+        if impl not in ("auto", "lax", "pallas", "pallas-fast"):
             raise ValueError(
-                f"update_impl must be one of 'auto'/'lax'/'pallas', got {impl!r}"
+                "update_impl must be one of 'auto'/'lax'/'pallas'/"
+                f"'pallas-fast', got {impl!r}"
             )
-        if impl == "pallas" and not pallas_ppo.supported_policy(self.model):
+        if impl in ("pallas", "pallas-fast") and not pallas_ppo.supported_policy(
+            self.model
+        ):
             raise ValueError(
-                "update_impl='pallas' requires a plain equal-tower MLP policy "
+                f"update_impl={impl!r} requires a plain equal-tower MLP policy "
                 "(CNN/BatchNorm models use the lax sweep)"
+            )
+        if impl == "pallas-fast":
+            # shuffle-once + prefetched block order: the throughput sweep
+            # whose minibatch index stream deviates from SB3 (documented in
+            # ops/pallas_ppo.fast_schedule); never selected by "auto"
+            return pallas_ppo.make_pallas_fast_update_fn(
+                self.model, self.cfg.ppo,
+                interpret=_jax.default_backend() != "tpu",
             )
         use_pallas = impl == "pallas" or (
             impl == "auto"

@@ -32,8 +32,12 @@ class PPOConfig:
     # epoch-sweep backend: "auto" runs the single-kernel fused Pallas sweep
     # (ops/pallas_ppo.py) on TPU for plain MLP policies — the sweep is
     # otherwise hundreds of sequential tiny-GEMM grad steps and dominates
-    # iteration latency; "lax" keeps the composable optax path everywhere
-    update_impl: str = "auto"  # "auto" | "lax" | "pallas"
+    # iteration latency; "lax" keeps the composable optax path everywhere.
+    # "pallas-fast" additionally replaces SB3's per-epoch full reshuffle
+    # with the shuffle-once schedule (ops/pallas_ppo.fast_schedule) — the
+    # fastest sweep, with a documented minibatch-stream deviation; "auto"
+    # never selects it, and strict SB3-parity presets pin "lax".
+    update_impl: str = "auto"  # "auto" | "lax" | "pallas" | "pallas-fast"
 
     def validate(self, n_envs: int) -> None:
         total = self.n_steps * n_envs
@@ -71,6 +75,16 @@ class SelfplayConfig:
     # Pallas launch on TPU (MLP policies; see ops/pallas_policy.py).  The
     # sampling distribution is identical; the PRNG stream differs from lax.
     policy_impl: str = "auto"  # "auto" | "lax" | "pallas"
+    # rollout backend: "scan" drives one lax.scan whose body launches the
+    # per-step kernels above (~5 Pallas launches + XLA glue per transition);
+    # "fused" compiles the ENTIRE T-step selfplay rollout into one Pallas
+    # kernel (ops/pallas_rollout.py) — env state, agent params, and the
+    # stacked opponent bank stay VMEM-resident across all T steps and the
+    # transitions stream out to HBM.  "auto" picks "fused" on TPU when the
+    # model/pool fit (plain MLP, no sample_board), else "scan".  Sampling
+    # distributions are identical; the PRNG stream differs from lax (same
+    # caveat as policy_impl).
+    rollout_impl: str = "auto"  # "auto" | "scan" | "fused"
     eval_freq: int = 1000  # agent transitions between evals (per reference script)
     # eval episodes per eval pass; None -> buffer_size (what every reference
     # experiment sets).  Values past buffer_size replay the last pool member

@@ -1,0 +1,208 @@
+"""Per-stage timing breakdown of one PPO training iteration.
+
+The VERDICT r2 throughput task needs cost attribution, not a single number:
+this script times each stage of ``SelfplayPPO.train_step`` in isolation on
+the current backend (real TPU chip under axon; CPU elsewhere) —
+
+  rollout        the T-step selfplay rollout (``SelfplayRunner.run``)
+  gae            advantage/return computation on the rollout output
+  update         the epochs x minibatches PPO sweep (resolved impl)
+  update_lax     the composable lax/optax sweep (for comparison)
+  perm_gather    the host-side permutation + minibatch gather prologue of
+                 the fused Pallas sweep (its non-kernel cost)
+  train_step     the whole fused iteration (one XLA program)
+  superstep      ``train_steps(k)`` amortized per iteration
+
+Prints one JSON object per stage plus a summary line with the implied
+sustained transitions/s.  Shapes default to the round-1 throughput bar
+(6x6, 512 envs, n_steps 128, minibatch 1024, pool 64).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+sys.path.insert(0, ".")  # repo-root execution
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from hex_gym_env_tpu.train import gae as gae_mod
+from hex_gym_env_tpu.train import ppo
+from hex_gym_env_tpu.train.selfplay import SelfplayPPO
+from hex_gym_env_tpu.utils.config import PPOConfig, SelfplayConfig, TrainConfig
+from hex_gym_env_tpu.utils.profiling import time_fn
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--board-size", type=int, default=6)
+    p.add_argument("--n-envs", type=int, default=512)
+    p.add_argument("--n-steps", type=int, default=128)
+    p.add_argument("--minibatch-size", type=int, default=1024)
+    p.add_argument("--buffer-size", type=int, default=64)
+    p.add_argument("--n-epochs", type=int, default=10)
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--superstep", type=int, default=8)
+    p.add_argument("--policy-impl", default="auto")
+    p.add_argument("--update-impl", default="auto")
+    p.add_argument("--rollout-impl", default="auto")
+    args = p.parse_args()
+
+    cfg = TrainConfig(
+        ppo=PPOConfig(
+            n_steps=args.n_steps,
+            minibatch_size=args.minibatch_size,
+            n_epochs=args.n_epochs,
+            update_impl=args.update_impl,
+        ),
+        selfplay=SelfplayConfig(
+            board_size=args.board_size,
+            n_envs=args.n_envs,
+            buffer_size=args.buffer_size,
+            policy_impl=args.policy_impl,
+            rollout_impl=args.rollout_impl,
+            eval_freq=10**9,
+        ),
+    )
+    algo = SelfplayPPO(cfg)
+    state = algo.init_state(jax.random.key(0))
+    per_iter = args.n_steps * args.n_envs
+    report: dict[str, float] = {}
+
+    def record(name: str, seconds: float, denom: int = per_iter) -> None:
+        report[name] = seconds
+        print(
+            json.dumps(
+                {
+                    "stage": name,
+                    "ms": round(seconds * 1e3, 3),
+                    "transitions_per_s": round(denom / seconds),
+                }
+            ),
+            flush=True,
+        )
+
+    # --- null dispatch: the tunnel/dispatch round-trip constant -----------
+    # every per-stage figure below includes one of these; subtract it for
+    # device time (the superstep figure amortizes it away instead)
+    null = jax.jit(lambda x: x + 1.0)
+    t = time_fn(null, jnp.zeros((8, 128), jnp.float32), repeats=args.repeats)
+    record("null_dispatch", t["seconds_per_call"])
+
+    # --- rollout ---------------------------------------------------------
+    run = jax.jit(
+        lambda p_, b, c, k: algo.runner.run(p_, b, c, k, args.n_steps)
+    )
+    t = time_fn(
+        run, state.params, state.bank, state.carry, jax.random.key(1),
+        repeats=args.repeats,
+    )
+    record("rollout", t["seconds_per_call"])
+
+    carry, tr, last_values = run(
+        state.params, state.bank, state.carry, jax.random.key(1)
+    )
+
+    # --- GAE -------------------------------------------------------------
+    gfn = jax.jit(
+        lambda r, v, d, lv: gae_mod.compute_gae(
+            r, v, d, lv, cfg.ppo.gamma, cfg.ppo.gae_lambda
+        )
+    )
+    t = time_fn(gfn, tr.reward, tr.value, tr.done, last_values, repeats=args.repeats)
+    record("gae", t["seconds_per_call"])
+
+    advantages, returns = gfn(tr.reward, tr.value, tr.done, last_values)
+
+    def flat(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    batch = ppo.PPOBatch(
+        obs=flat(tr.obs),
+        legal=flat(tr.legal),
+        action=flat(tr.action),
+        log_prob_old=flat(tr.log_prob),
+        value_old=flat(tr.value),
+        advantage=flat(advantages),
+        ret=flat(returns),
+    )
+
+    # --- update (resolved impl) -----------------------------------------
+    upd = jax.jit(algo.update_fn)
+    t = time_fn(
+        upd, state.params, state.opt_state, batch, jax.random.key(2),
+        repeats=args.repeats,
+    )
+    record("update", t["seconds_per_call"])
+
+    # --- update (lax, for comparison) ------------------------------------
+    lax_upd = jax.jit(ppo.make_update_fn(algo.model, cfg.ppo, algo.optimizer))
+    t = time_fn(
+        lax_upd, state.params, state.opt_state, batch, jax.random.key(2),
+        repeats=args.repeats,
+    )
+    record("update_lax", t["seconds_per_call"])
+
+    # --- permutation + gather prologue of the fused sweep -----------------
+    n = batch.action.shape[0]
+    mbs = cfg.ppo.minibatch_size
+    n_mb = n // mbs
+    G = cfg.ppo.n_epochs * n_mb
+
+    @jax.jit
+    def prologue(b: ppo.PPOBatch, key):
+        epoch_keys = jax.random.split(key, cfg.ppo.n_epochs)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n))(epoch_keys)
+        idx = perms[:, : n_mb * mbs].reshape(G, mbs)
+        return (
+            b.obs.reshape(n, -1).astype(jnp.int8)[idx],
+            b.legal.astype(jnp.int8)[idx],
+            b.action.astype(jnp.int32)[idx][..., None],
+            b.log_prob_old[idx][..., None],
+            b.advantage[idx][..., None],
+            b.ret[idx][..., None],
+        )
+
+    t = time_fn(prologue, batch, jax.random.key(2), repeats=args.repeats)
+    record("perm_gather", t["seconds_per_call"])
+
+    # --- whole iteration --------------------------------------------------
+    step = jax.jit(algo.train_step)
+    t = time_fn(step, state, repeats=args.repeats)
+    record("train_step", t["seconds_per_call"])
+
+    # --- fused superstep --------------------------------------------------
+    k = args.superstep
+    multi = jax.jit(lambda s: algo.train_steps(s, k))
+    t = time_fn(multi, state, repeats=max(1, args.repeats // 2))
+    record("superstep_per_iter", t["seconds_per_call"] / k, denom=per_iter)
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "backend": jax.default_backend(),
+                    "shape": dataclasses.asdict(cfg.ppo)
+                    | {"n_envs": args.n_envs, "buffer_size": args.buffer_size,
+                       "board_size": args.board_size},
+                    "per_iter_transitions": per_iter,
+                    "sustained_transitions_per_s": round(
+                        per_iter / (report["superstep_per_iter"])
+                    ),
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -168,7 +168,8 @@ def test_gating():
     topo = get_topology(5)
     mlp = make_policy("MLP-default", topo.num_cells)
     assert pallas_policy.supported(mlp, 20)
-    assert not pallas_policy.supported(mlp, 64)  # (64+1)*64 > 2048 lanes
+    assert pallas_policy.supported(mlp, 64)  # reference buffer_exp grid size
+    assert not pallas_policy.supported(mlp, 66)  # (66+1)*64 > 4224 lanes
     cnn = make_policy("CNN", topo.num_cells)
     assert not pallas_policy.supported(cnn, 4)
 

@@ -131,3 +131,64 @@ def test_supported_policy_gate():
         pass
 
     assert not pallas_ppo.supported_policy(NotMlp())
+
+
+def test_pallas_fast_matches_schedule_replay():
+    """``pallas-fast`` == a lax/optax replay of the SAME shuffle-once
+    schedule: the deviation is the minibatch index stream only (pinned by
+    replaying ``fast_schedule``'s exact indices through the parity-tested
+    loss + optimizer), the math is the fused kernel's."""
+    import optax
+
+    model = MlpPolicy(n_actions=A)
+    cfg = PPOConfig(minibatch_size=64, n_epochs=3)
+    n = 256
+    variables = model.init(jax.random.key(5), jnp.zeros((1, N, N), jnp.float32))
+    optimizer = ppo.make_optimizer(cfg)
+    opt_state = optimizer.init(variables["params"])
+    batch = _batch(n, seed=9)
+    key = jax.random.key(21)
+
+    fast_update = jax.jit(
+        pallas_ppo.make_pallas_fast_update_fn(model, cfg, interpret=True)
+    )
+    vars_f, opt_f, stats_f = fast_update(variables, opt_state, batch, key)
+
+    rowperm, order = jax.jit(
+        lambda k: pallas_ppo.fast_schedule(k, n, cfg.minibatch_size, cfg.n_epochs)
+    )(key)
+    blocks = np.asarray(rowperm).reshape(n // cfg.minibatch_size, cfg.minibatch_size)
+    grad_fn = jax.jit(jax.grad(ppo.make_loss_fn(model, cfg), has_aux=True))
+
+    params, opt = variables["params"], opt_state
+    all_stats = []
+    for blk in np.asarray(order):
+        idx = jnp.asarray(blocks[blk])
+        mb = jax.tree.map(lambda x: x[idx], batch)
+        grads, (stats, _) = grad_fn(params, {}, mb)
+        updates, opt = optimizer.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        all_stats.append(stats)
+
+    assert int(opt_f[1][0].count) == len(np.asarray(order))
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(vars_f["params"])[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=f"params diverge at {jax.tree_util.keystr(path)}",
+        )
+    for name in ppo.PPOStats._fields:
+        ref = float(np.mean([float(getattr(s, name)) for s in all_stats]))
+        assert abs(ref - float(getattr(stats_f, name))) < 1e-4, name
+
+
+def test_fast_schedule_is_a_partition():
+    """Every epoch visits every row exactly once (block order is a
+    permutation of the blocks; rows are a permutation of the batch)."""
+    rowperm, order = pallas_ppo.fast_schedule(jax.random.key(0), 512, 64, 4)
+    assert sorted(np.asarray(rowperm).tolist()) == list(range(512))
+    o = np.asarray(order).reshape(4, 8)
+    for e in range(4):
+        assert sorted(o[e].tolist()) == list(range(8))
