@@ -87,6 +87,7 @@ for _n, _ef in ((5, 10_000), (6, 5_000), (7, 10_000)):
             board_size=_n, n_envs=8, buffer_size=30, policy="MLP-default",
             seat_mode="fixed_random", eval_freq=_ef, n_eval_episodes=30,
             policy_impl="lax",  # pin the jax.random sampling stream too
+            rollout_impl="scan",  # and the per-step scan (no fused kernel)
         ),
         total_timesteps=10_000_000,
         model_name=f"{_n}x{_n}_strict_sb3",

@@ -103,7 +103,11 @@ class SelfplayRunner:
                 f"rollout_impl must be one of 'auto'/'scan'/'fused', got {impl!r}"
             )
         on_tpu = jax.default_backend() == "tpu"
-        if impl == "fused" or (impl == "auto" and on_tpu):
+        # "auto" only fuses when the per-step pallas policy path resolved
+        # too: a pinned policy_impl="lax" (e.g. the strict SB3-parity
+        # presets) pins the jax.random sampling stream, which the fused
+        # kernel's hardware PRNG would silently replace.
+        if impl == "fused" or (impl == "auto" and on_tpu and self.pol is not None):
             if pallas_rollout.supported(model, cfg):
                 self.fused_pol = pallas_policy.PolicyOps(
                     model, interpret=not on_tpu
