@@ -59,7 +59,10 @@ class DistributedSelfplayPPO(SelfplayPPO):
         if next(iter(mesh.devices.flat)).platform == "cpu":
             cfg = dataclasses.replace(
                 cfg,
-                selfplay=dataclasses.replace(cfg.selfplay, env_step_impl="lax"),
+                selfplay=dataclasses.replace(
+                    cfg.selfplay, env_step_impl="lax", policy_impl="lax",
+                    rollout_impl="scan",
+                ),
                 ppo=dataclasses.replace(cfg.ppo, update_impl="lax"),
             )
         super().__init__(cfg)

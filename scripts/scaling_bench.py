@@ -28,6 +28,123 @@ import time
 sys.path.insert(0, ".")
 
 
+def _collective_counts(compiled_text: str) -> dict:
+    """Static census of collective ops in the compiled HLO (start ops only,
+    so async start/done pairs count once; an op inside a lax.scan body
+    appears once regardless of trip count)."""
+    import re
+
+    out = {}
+    for op in ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all"):
+        n = len(re.findall(rf"(?:^|\s)%?{op}(?:-start)?[\.\d]*\s*=", compiled_text, re.M))
+        if n:
+            out[op] = n
+    return out
+
+
+def _stage_attribution(algo, cfg, state, args, drain) -> dict:
+    """Per-stage device timing of the SPMD iteration: rollout+GAE (pure
+    local compute), the PPO sweep WITH the per-minibatch ``pmean``, and the
+    identical sweep with the reduction stubbed out — the delta isolates the
+    collective cost from the compute cost at every mesh width.  This is the
+    attribution the >=80%-efficiency target needs on real hardware, and on
+    a virtual CPU mesh it demonstrates (rather than asserts) where
+    timeshared-host degradation lands: in the compute stages, not the
+    collectives."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hex_gym_env_tpu.parallel.mesh import DATA_AXIS
+    from hex_gym_env_tpu.train import gae as gae_mod
+    from hex_gym_env_tpu.train import ppo
+
+    mesh = algo.mesh
+    runner = algo.local_runner
+    rep, bat = P(), P(DATA_AXIS)
+
+    def local_rollout(params, bank, carry, key):
+        di = jax.lax.axis_index(DATA_AXIS)
+        k = jax.random.fold_in(key, di)
+        carry, tr, last = runner.run(params, bank, carry, k, cfg.ppo.n_steps)
+        adv, ret = gae_mod.compute_gae(
+            tr.reward, tr.value, tr.done, last, cfg.ppo.gamma, cfg.ppo.gae_lambda
+        )
+        return carry, adv, ret
+
+    tbat = P(None, DATA_AXIS)  # (T, B) arrays: batch is axis 1
+    roll = jax.jit(
+        jax.shard_map(
+            local_rollout, mesh=mesh,
+            in_specs=(rep, rep, bat, rep), out_specs=(bat, tbat, tbat),
+            check_vma=False,
+        )
+    )
+
+    def timed(fn, *fargs, reps=None):
+        reps = reps or max(2, args.iters // 2)
+        out = fn(*fargs)
+        drain(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*fargs)
+        drain(out)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    key = jax.random.key(5)
+    rollout_ms = timed(roll, state.params, state.bank, state.carry, key)
+
+    # synthetic sharded batch with the exact training shapes
+    n = cfg.ppo.n_steps * cfg.selfplay.n_envs
+    N = cfg.selfplay.board_size
+    A = N * N
+    kb = jax.random.split(jax.random.key(9), 4)
+    boards = jax.random.randint(kb[0], (n, N, N), -1, 2, dtype=jnp.int8)
+    batch = ppo.PPOBatch(
+        obs=boards,
+        legal=boards.reshape(n, A) == 0,
+        action=jnp.argmax(
+            jnp.where(boards.reshape(n, A) == 0, jax.random.uniform(kb[1], (n, A)), -1.0),
+            axis=1,
+        ).astype(jnp.int32),
+        log_prob_old=jax.random.normal(kb[2], (n,)) * 0.3 - 2.5,
+        value_old=jnp.zeros((n,)),
+        advantage=jax.random.normal(kb[3], (n,)),
+        ret=jnp.zeros((n,)),
+    )
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    batch = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
+
+    def make_update(reduce):
+        upd = ppo.make_update_fn(algo.model, cfg.ppo, algo.optimizer, grad_reduce=reduce)
+
+        def local(params, opt_state, b, key):
+            di = jax.lax.axis_index(DATA_AXIS)
+            return upd(params, opt_state, b, jax.random.fold_in(key, di))
+
+        return jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(rep, rep, bat, rep),
+                out_specs=(rep, rep, rep), check_vma=False,
+            )
+        )
+
+    upd_pmean = make_update(lambda g: jax.lax.pmean(g, DATA_AXIS))
+    upd_local = make_update(None)
+    update_pmean_ms = timed(upd_pmean, state.params, state.opt_state, batch, key)
+    update_local_ms = timed(upd_local, state.params, state.opt_state, batch, key)
+
+    return {
+        "rollout_gae_ms": round(rollout_ms, 3),
+        "update_pmean_ms": round(update_pmean_ms, 3),
+        "update_local_ms": round(update_local_ms, 3),
+        "collective_delta_ms": round(update_pmean_ms - update_local_ms, 3),
+    }
+
+
 def bench_devices(n_devices: int, args) -> dict:
     import jax
 
@@ -68,6 +185,10 @@ def bench_devices(n_devices: int, args) -> dict:
         jax.block_until_ready(x)
         jax.device_get(jax.tree.leaves(x)[0].ravel()[:1])
 
+    # collective census from the compiled HLO, before donation consumes state
+    hlo = jax.jit(algo.train_step).lower(state).compile().as_text()
+    collectives = _collective_counts(hlo)
+
     state, _ = step(state)  # compile + warmup
     drain(state.params)
     t0 = time.perf_counter()
@@ -76,15 +197,24 @@ def bench_devices(n_devices: int, args) -> dict:
     drain(state.params)
     dt = time.perf_counter() - t0
 
+    import os
+
     per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
-    return {
+    report = {
         "devices": n_devices,
         "platform": devices[0].platform,
         "board_size": args.board_size,
         "n_envs": cfg.selfplay.n_envs,
         "transitions_per_s": per_iter * args.iters / dt,
         "iter_ms": dt / args.iters * 1e3,
+        "hlo_collective_ops": collectives,  # static census: ops inside lax.scan bodies count once
+        "host_cpu_count": os.cpu_count(),
     }
+    if not args.no_attribution:
+        report["stages"] = _stage_attribution(
+            algo, cfg, algo.init_sharded_state(jax.random.key(1)), args, drain
+        )
+    return report
 
 
 def main() -> None:
@@ -99,6 +229,10 @@ def main() -> None:
     ap.add_argument("--devices", default=None,
                     help="comma list of mesh sizes, e.g. 1,2,4,8 (default: 1,max)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--no-attribution", action="store_true",
+        help="skip the per-stage timing breakdown (faster; counts only)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -142,6 +276,38 @@ def main() -> None:
                 }
             )
         )
+        # demonstrate the oversubscription explanation: if the COMPUTE-only
+        # stage (rollout+GAE, zero collectives) degrades with mesh width as
+        # much as the full step, host timesharing — not communication — is
+        # what the CPU efficiency numbers measure
+        cpu = [r for r in results if r["platform"] == "cpu" and "stages" in r]
+        if len(cpu) >= 2:
+            base = cpu[0]
+            last = cpu[-1]
+            scale = last["devices"] / base["devices"]
+            roll_slowdown = (
+                last["stages"]["rollout_gae_ms"] / base["stages"]["rollout_gae_ms"]
+            )
+            comm_share = last["stages"]["collective_delta_ms"] / max(
+                last["iter_ms"], 1e-9
+            )
+            print(
+                json.dumps(
+                    {
+                        "oversubscription_demo": {
+                            "mesh_growth": scale,
+                            "collective_free_rollout_slowdown": round(
+                                roll_slowdown, 3
+                            ),
+                            "collective_share_of_iter": round(comm_share, 4),
+                            "reading": "rollout has zero collectives; its "
+                            "slowdown under a wider virtual mesh is host-core "
+                            "timesharing, and the collective share bounds what "
+                            "communication could explain",
+                        }
+                    }
+                )
+            )
 
 
 if __name__ == "__main__":
