@@ -58,6 +58,23 @@ class SelfplayPPO:
         self.optimizer = ppo.make_optimizer(cfg.ppo)
         self.update_fn = self._resolve_update_fn()
         self.evaluator = Evaluator(self.topo, self.model, cfg.selfplay)
+        self.gae_fn = self._resolve_gae_fn()
+
+    def _resolve_gae_fn(self):
+        """Same recurrence, same operation order, two lowerings: the lax
+        reverse scan, or one fully-unrolled VMEM-resident Pallas kernel on
+        TPU for short rollouts (``ops/pallas_gae.py``) — the scan's
+        per-iteration launch overhead is ~2.7 ms at the headline shape."""
+        import jax as _jax
+
+        from hex_gym_env_tpu.ops import pallas_gae
+
+        if (
+            _jax.default_backend() == "tpu"
+            and self.cfg.ppo.n_steps <= pallas_gae.MAX_UNROLL_STEPS
+        ):
+            return pallas_gae.compute_gae
+        return gae.compute_gae
 
     def _resolve_update_fn(self):
         """Pick the epoch-sweep backend (see ``PPOConfig.update_impl``)."""
@@ -183,7 +200,7 @@ class SelfplayPPO:
         carry, tr, last_values = self.runner.run(
             state.params, state.bank, state.carry, k_roll, cfg.ppo.n_steps
         )
-        advantages, returns = gae.compute_gae(
+        advantages, returns = self.gae_fn(
             tr.reward, tr.value, tr.done, last_values,
             cfg.ppo.gamma, cfg.ppo.gae_lambda,
         )
