@@ -501,6 +501,124 @@ def fused_rollout(
     return FusedRolloutOut(*outs)
 
 
+def verify_rollout_trajectory(
+    topo: HexTopology,
+    model,
+    variables: Any,
+    carry,
+    out: FusedRolloutOut,
+    n_steps: int,
+    seat_mode: str,
+    pool_size: int,
+    atol: float = 1e-5,
+):
+    """Replay a fused rollout's emitted record through the independent lax
+    env ops and assert exact trajectory equality (host-side debug utility;
+    also the body of ``tests/test_pallas_rollout.py`` and the on-hardware
+    check in ``scripts/tpu_selftest.py``).
+
+    Works for ANY PRNG source because the kernel emits every draw it made
+    (actions, opponent replies, opening moves, reset seat/opponent draws):
+    observations, legal masks, action legality, rewards, dones, reset
+    bookkeeping, policy value/log-prob (vs ``model.apply``), and the final
+    carry state down to the connectivity labels are all re-derived and
+    compared.  Returns the replayed final state.  Raises ``AssertionError``
+    on any mismatch.
+    """
+    import numpy as np
+
+    from hex_gym_env_tpu.core import env as hex_env
+
+    F = topo.num_cells
+    n = topo.n
+    B = carry.env.batch_size
+    ar = np.arange(B)
+    state = carry.env
+    seat = np.asarray(carry.agent_seat)
+    use_best = np.asarray(carry.use_best)
+    opp_idx = np.asarray(carry.opp_idx)
+    fresh = hex_env.initial_state(topo, B)
+
+    for t in range(n_steps):
+        obs_ref = np.asarray(hex_env.observe(topo, state))
+        obs_out = np.asarray(out.obs[t][:, :F]).reshape(B, n, n)
+        np.testing.assert_array_equal(obs_out, obs_ref, err_msg=f"obs @ {t}")
+        legal_ref = np.asarray(hex_env.legal_mask(topo, state))
+        np.testing.assert_array_equal(
+            obs_out.reshape(B, F) == 0, legal_ref, err_msg=f"legal @ {t}"
+        )
+
+        a = np.asarray(out.ints[t, :, I_ACTION])
+        assert legal_ref[ar, a].all(), f"illegal agent action at step {t}"
+
+        logits, value = model.apply(variables, obs_ref.astype(jnp.float32))
+        masked_l = jnp.where(legal_ref, logits, -jnp.inf)
+        logp = jax.nn.log_softmax(masked_l, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(out.flts[t, :, F_VALUE]), np.asarray(value), atol=atol,
+            err_msg=f"value @ {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.flts[t, :, F_LOGP]), np.asarray(logp)[ar, a],
+            atol=atol, err_msg=f"log_prob @ {t}",
+        )
+
+        st1, rew1 = hex_env.step(topo, state, jnp.asarray(a))
+        r = np.asarray(rew1)[ar, seat]
+        oa = np.asarray(out.ints[t, :, I_OPP_ACTION])
+        active2 = ~np.asarray(st1.done)
+        legal2 = np.asarray(hex_env.legal_mask(topo, st1))
+        assert legal2[ar, oa][active2].all(), f"illegal opponent reply at {t}"
+        st2, rew2 = hex_env.step(
+            topo, st1, jnp.asarray(oa), active=jnp.asarray(active2)
+        )
+        r = r + np.asarray(rew2)[ar, seat]
+
+        np.testing.assert_allclose(
+            np.asarray(out.flts[t, :, F_REWARD]), r, err_msg=f"reward @ {t}"
+        )
+        done = np.asarray(st2.done)
+        np.testing.assert_array_equal(
+            np.asarray(out.ints[t, :, I_DONE]) != 0, done, err_msg=f"done @ {t}"
+        )
+
+        st3 = hex_env.reset_where(topo, st2, jnp.asarray(done), fresh)
+        seat2 = np.asarray(out.ints[t, :, I_SEAT])
+        use_best2 = np.asarray(out.ints[t, :, I_USE_BEST]) != 0
+        opp_idx2 = np.asarray(out.ints[t, :, I_OPP_IDX])
+        np.testing.assert_array_equal(seat2[~done], seat[~done])
+        np.testing.assert_array_equal(use_best2[~done], use_best[~done])
+        np.testing.assert_array_equal(opp_idx2[~done], opp_idx[~done])
+        if seat_mode == "fixed_random":
+            np.testing.assert_array_equal(seat2, seat)
+        assert ((opp_idx2 >= 0) & (opp_idx2 < pool_size)).all()
+
+        fa = np.asarray(out.ints[t, :, I_FIRST_ACTION])
+        open_mask = done & (seat2 == 1)
+        st4, _ = hex_env.step(
+            topo, st3, jnp.asarray(fa), active=jnp.asarray(open_mask)
+        )
+        state, seat, use_best, opp_idx = st4, seat2, use_best2, opp_idx2
+
+    np.testing.assert_array_equal(
+        np.asarray(out.s0 != 0), np.asarray(state.stones[:, 0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.s1 != 0), np.asarray(state.stones[:, 1])
+    )
+    np.testing.assert_array_equal(np.asarray(out.labels), np.asarray(state.labels))
+    np.testing.assert_array_equal(
+        np.asarray(out.meta[:, M_TO_MOVE]), np.asarray(state.to_move)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.meta[:, M_EMPTY]), np.asarray(state.empty)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.meta[:, M_DONE]) != 0, np.asarray(state.done)
+    )
+    return state
+
+
 def supported(model, cfg) -> bool:
     """Gate: plain equal-tower MLP, fused policy packing available, no
     sampled mid-game boards (the opening-table shortcut requires fresh

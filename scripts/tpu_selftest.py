@@ -137,6 +137,126 @@ def main() -> None:
     assert (stones == 2).all(), f"expected 2 stones everywhere, got {set(stones)}"
     print("3. opponent-bank kernel replied legally inside the same program: OK")
 
+    # -- 4. whole-rollout mega-kernel: hardware trajectory replay ----------
+    # the CI replay test runs the kernel in interpret mode; this replays a
+    # REAL hardware execution (device PRNG, Mosaic lowering) through the
+    # independent lax env ops — every emitted obs/action/reward/done/reset
+    # and the final carry must re-derive exactly
+    from hex_gym_env_tpu.ops import pallas_rollout as pr
+
+    cfg4 = TrainConfig(
+        ppo=PPOConfig(n_steps=16, minibatch_size=256),
+        selfplay=SelfplayConfig(
+            board_size=5, n_envs=128, buffer_size=4, policy="MLP-default",
+            rollout_impl="fused", seed=0,
+        ),
+    )
+    algo4 = SelfplayPPO(cfg4)
+    st4 = algo4.init_state(jax.random.key(4))
+    # non-trivial agent + opponents: reuse freshly initialized params
+    runner4 = algo4.runner
+    pol4 = runner4.fused_pol
+    assert pol4 is not None and not pol4.interpret
+    packed = pol4.pack_agent(st4.params["params"])
+    stacked = pol4.stack_bank(st4.bank)
+    n5 = algo4.topo.n
+    members = jax.vmap(
+        lambda v: algo4.model.apply(v, jnp.zeros((1, n5, n5), jnp.float32))[0][0]
+    )(st4.bank.params)
+    best = algo4.model.apply(
+        st4.bank.best_params, jnp.zeros((1, n5, n5), jnp.float32)
+    )[0][0]
+    ft = jnp.concatenate([members, best[None]], axis=0)
+    P1 = stacked.n_members
+    P1c = stacked.tensors[-1].shape[0]
+    ft = jnp.pad(ft.astype(jnp.float32), ((0, P1c - P1), (0, 0)))
+    out4 = jax.jit(
+        lambda key: pr.fused_rollout(
+            algo4.topo, pol4, packed, stacked.tensors, ft, st4.carry.env,
+            dict(
+                n_members=P1, agent_seat=st4.carry.agent_seat,
+                use_best=st4.carry.use_best, opp_idx=st4.carry.opp_idx,
+            ),
+            key, 16, cfg4.selfplay.best_prob, True, interpret=False,
+        )
+    )(jax.random.key(44))
+    pr.verify_rollout_trajectory(
+        algo4.topo, algo4.model, st4.params, st4.carry, out4, 16,
+        "per_episode", cfg4.selfplay.buffer_size, atol=2e-4,
+    )
+    assert np.asarray(out4.ints[..., pr.I_DONE]).sum() > 0
+    print("4. fused-rollout hardware execution replays exactly on host: OK")
+
+    # -- 5. Pallas GAE kernel == lax recurrence on hardware ----------------
+    from hex_gym_env_tpu.ops import pallas_gae
+    from hex_gym_env_tpu.train import gae as gae_mod
+
+    kk = jax.random.split(jax.random.key(5), 4)
+    T5, B5 = 128, 256
+    rewards = jnp.where(
+        jax.random.uniform(kk[0], (T5, B5)) < 0.1,
+        jnp.sign(jax.random.normal(kk[1], (T5, B5))), 0.0,
+    )
+    values = jax.random.normal(kk[1], (T5, B5)) * 0.5
+    dones = jax.random.uniform(kk[2], (T5, B5)) < 0.15
+    lastv = jax.random.normal(kk[3], (B5,)) * 0.5
+    a_l, r_l = jax.jit(lambda *a: gae_mod.compute_gae(*a, 0.99, 0.95))(
+        rewards, values, dones, lastv
+    )
+    a_p, r_p = jax.jit(lambda *a: pallas_gae.compute_gae(*a, 0.99, 0.95))(
+        rewards, values, dones, lastv
+    )
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_l), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_l), rtol=1e-6, atol=1e-6)
+    print("5. Pallas GAE == lax GAE on hardware: OK")
+
+    # -- 6. pallas-fast sweep == lax/optax replay of its schedule ----------
+    import optax
+
+    from hex_gym_env_tpu.ops import pallas_ppo
+    from hex_gym_env_tpu.train import ppo as ppo_mod
+
+    model6 = algo4.model
+    cfg6 = PPOConfig(minibatch_size=64, n_epochs=2)
+    n6 = 256
+    vars6 = st4.params
+    opt6 = ppo_mod.make_optimizer(cfg6)
+    ostate6 = opt6.init(vars6["params"])
+    rng = np.random.default_rng(0)
+    boards6 = rng.choice(np.array([-1, 0, 1], np.int8), size=(n6, n5, n5))
+    boards6.reshape(n6, -1)[np.arange(n6), rng.integers(0, n5 * n5, n6)] = 0
+    legal6 = boards6.reshape(n6, -1) == 0
+    u6 = rng.random((n6, n5 * n5))
+    batch6 = ppo_mod.PPOBatch(
+        obs=jnp.asarray(boards6),
+        legal=jnp.asarray(legal6),
+        action=jnp.asarray(
+            np.argmax(np.where(legal6, u6, -1.0), axis=1).astype(np.int32)
+        ),
+        log_prob_old=jnp.asarray(rng.normal(-2.5, 0.3, n6).astype(np.float32)),
+        value_old=jnp.zeros((n6,), jnp.float32),
+        advantage=jnp.asarray(rng.normal(0, 1, n6).astype(np.float32)),
+        ret=jnp.asarray(rng.normal(0, 0.7, n6).astype(np.float32)),
+    )
+    key6 = jax.random.key(66)
+    vars_f, opt_f, _ = jax.jit(
+        pallas_ppo.make_pallas_fast_update_fn(model6, cfg6)
+    )(vars6, ostate6, batch6, key6)
+    rowperm, order = jax.jit(
+        lambda k: pallas_ppo.fast_schedule(k, n6, cfg6.minibatch_size, cfg6.n_epochs)
+    )(key6)
+    blocks = np.asarray(rowperm).reshape(-1, cfg6.minibatch_size)
+    grad_fn = jax.jit(jax.grad(ppo_mod.make_loss_fn(model6, cfg6), has_aux=True))
+    params6, ost = vars6["params"], ostate6
+    for blk in np.asarray(order):
+        mb = jax.tree.map(lambda x: x[jnp.asarray(blocks[blk])], batch6)
+        grads, _ = grad_fn(params6, {}, mb)
+        updates, ost = opt6.update(grads, ost, params6)
+        params6 = optax.apply_updates(params6, updates)
+    for a, b in zip(jax.tree.leaves(params6), jax.tree.leaves(vars_f["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+    print("6. pallas-fast sweep == schedule replay on hardware: OK")
+
     print("TPU selftest PASSED")
 
 

@@ -86,87 +86,8 @@ def test_fused_rollout_replays_exactly(seat_mode):
     topo, model, runner, variables, bank, carry, cfg = _setup(seat_mode)
     key = jax.random.key(11)
     out = _raw_rollout(topo, model, runner, variables, bank, carry, cfg, key)
-
-    F = topo.num_cells
-    ar = np.arange(B)
-    state = carry.env
-    seat = np.asarray(carry.agent_seat)
-    use_best = np.asarray(carry.use_best)
-    opp_idx = np.asarray(carry.opp_idx)
-    fresh = hex_env.initial_state(topo, B)
-
-    for t in range(T):
-        obs_ref = np.asarray(hex_env.observe(topo, state))  # (B, N, N) int8
-        obs_out = np.asarray(out.obs[t][:, :F]).reshape(B, N, N)
-        np.testing.assert_array_equal(obs_out, obs_ref)
-        legal_ref = np.asarray(hex_env.legal_mask(topo, state))
-        np.testing.assert_array_equal(obs_out.reshape(B, F) == 0, legal_ref)
-
-        a = np.asarray(out.ints[t, :, pr.I_ACTION])
-        assert legal_ref[ar, a].all(), f"illegal agent action at step {t}"
-
-        # agent forward parity: value + log-prob come from the packed towers
-        logits, value = model.apply(variables, obs_ref.astype(jnp.float32))
-        masked = jnp.where(legal_ref, logits, -jnp.inf)
-        logp = jax.nn.log_softmax(masked, axis=-1)
-        np.testing.assert_allclose(
-            np.asarray(out.flts[t, :, pr.F_VALUE]), np.asarray(value), atol=1e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(out.flts[t, :, pr.F_LOGP]),
-            np.asarray(logp)[ar, a], atol=1e-5,
-        )
-
-        st1, rew1 = hex_env.step(topo, state, jnp.asarray(a))
-        r = np.asarray(rew1)[ar, seat]
-        oa = np.asarray(out.ints[t, :, pr.I_OPP_ACTION])
-        active2 = ~np.asarray(st1.done)
-        legal2 = np.asarray(hex_env.legal_mask(topo, st1))
-        assert legal2[ar, oa][active2].all(), f"illegal opponent reply at {t}"
-        st2, rew2 = hex_env.step(topo, st1, jnp.asarray(oa), active=jnp.asarray(active2))
-        r = r + np.asarray(rew2)[ar, seat]
-
-        np.testing.assert_allclose(np.asarray(out.flts[t, :, pr.F_REWARD]), r)
-        done = np.asarray(st2.done)
-        np.testing.assert_array_equal(
-            np.asarray(out.ints[t, :, pr.I_DONE]) != 0, done
-        )
-
-        # reset + redraws
-        st3 = hex_env.reset_where(topo, st2, jnp.asarray(done), fresh)
-        seat2 = np.asarray(out.ints[t, :, pr.I_SEAT])
-        use_best2 = np.asarray(out.ints[t, :, pr.I_USE_BEST]) != 0
-        opp_idx2 = np.asarray(out.ints[t, :, pr.I_OPP_IDX])
-        np.testing.assert_array_equal(seat2[~done], seat[~done])
-        np.testing.assert_array_equal(use_best2[~done], use_best[~done])
-        np.testing.assert_array_equal(opp_idx2[~done], opp_idx[~done])
-        if seat_mode == "fixed_random":
-            np.testing.assert_array_equal(seat2, seat)
-        assert ((opp_idx2 >= 0) & (opp_idx2 < POOL)).all()
-
-        fa = np.asarray(out.ints[t, :, pr.I_FIRST_ACTION])
-        open_mask = done & (seat2 == 1)
-        st4, _ = hex_env.step(
-            topo, st3, jnp.asarray(fa), active=jnp.asarray(open_mask)
-        )
-        state, seat, use_best, opp_idx = st4, seat2, use_best2, opp_idx2
-
-    # final carry: exact state equality incl. connectivity labels
-    np.testing.assert_array_equal(
-        np.asarray(out.s0 != 0), np.asarray(state.stones[:, 0])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(out.s1 != 0), np.asarray(state.stones[:, 1])
-    )
-    np.testing.assert_array_equal(np.asarray(out.labels), np.asarray(state.labels))
-    np.testing.assert_array_equal(
-        np.asarray(out.meta[:, pr.M_TO_MOVE]), np.asarray(state.to_move)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(out.meta[:, pr.M_EMPTY]), np.asarray(state.empty)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(out.meta[:, pr.M_DONE]) != 0, np.asarray(state.done)
+    pr.verify_rollout_trajectory(
+        topo, model, variables, carry, out, T, seat_mode, POOL
     )
     # episodes do finish within the horizon, so resets were exercised
     assert np.asarray(out.ints[..., pr.I_DONE]).sum() > 0
