@@ -162,7 +162,7 @@ def _apply_move(n, L, lane, s0, s1, labels, s_col, c, act_col):
 
 def _rollout_kernel(
     n, L, A, T, n_layers, H, P1, P1c, LW, activation, best_prob,
-    per_episode_seat, chunk, use_device_prng, *refs,
+    per_episode_seat, chunk, use_device_prng, bank_bf16, *refs,
 ):
     F = n * n
     n_t = 2 * (n_layers + 1)
@@ -280,22 +280,39 @@ def _rollout_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (B, P1c), 1) == idx
     ).astype(jnp.float32)
 
+    # optional bf16 bank matmuls: weights arrive bf16 from the host; cast
+    # the LHS at each dot, accumulate f32 (see rollout_bank_bf16)
+    mm_t = jnp.bfloat16 if bank_bf16 else jnp.float32
+
     opp_logits_parts = []
     for off in range(0, B, chunk):
         sl = slice(off, off + chunk)
         xc = obs2[sl, :F]
         window = window_all[sl]
         oh_m = onehot_m[sl]
-        h_all = jnp.dot(xc, bankT[0][:], preferred_element_type=jnp.float32) + bankT[1][:]
+        h_all = (
+            jnp.dot(xc.astype(mm_t), bankT[0][:], preferred_element_type=jnp.float32)
+            + bankT[1][:].astype(jnp.float32)
+        )
         hc = act_fn(jnp.where(window, h_all, 0.0))
         for li in range(1, n_layers):
-            zc = jnp.dot(hc, bankT[2 * li][:], preferred_element_type=jnp.float32)
-            zc = zc + jnp.dot(oh_m, bankT[2 * li + 1][:], preferred_element_type=jnp.float32)
+            zc = jnp.dot(
+                hc.astype(mm_t), bankT[2 * li][:], preferred_element_type=jnp.float32
+            )
+            zc = zc + jnp.dot(
+                oh_m.astype(mm_t), bankT[2 * li + 1][:],
+                preferred_element_type=jnp.float32,
+            )
             hh = act_fn(zc)  # (chunk, H) compact
             pad = [jnp.zeros((hh.shape[0], LW - P1 * H), jnp.float32)] if LW > P1 * H else []
             hc = jnp.where(window, jnp.concatenate([hh] * P1 + pad, axis=1), 0.0)
-        lg = jnp.dot(hc, bankT[2 * n_layers][:], preferred_element_type=jnp.float32)
-        lg = lg + jnp.dot(oh_m, bankT[2 * n_layers + 1][:], preferred_element_type=jnp.float32)
+        lg = jnp.dot(
+            hc.astype(mm_t), bankT[2 * n_layers][:], preferred_element_type=jnp.float32
+        )
+        lg = lg + jnp.dot(
+            oh_m.astype(mm_t), bankT[2 * n_layers + 1][:],
+            preferred_element_type=jnp.float32,
+        )
         opp_logits_parts.append(lg)
     opp_logits = (
         jnp.concatenate(opp_logits_parts, axis=0)
@@ -408,6 +425,7 @@ def fused_rollout(
     best_prob: float,
     per_episode_seat: bool,
     interpret: bool = False,
+    bank_bf16: bool = False,
 ) -> FusedRolloutOut:
     """Run ``n_steps`` fused selfplay transitions; see module docstring."""
     B = state.batch_size
@@ -484,10 +502,15 @@ def fused_rollout(
         jax.ShapeDtypeStruct((B, M_WIDTH), jnp.int32),
     )
 
+    if bank_bf16:  # block specs are dtype-agnostic; cast in place
+        for j in range(4 + n_t, 4 + 2 * n_t):
+            inputs[j] = inputs[j].astype(jnp.bfloat16)
+
     kernel = functools.partial(
         _rollout_kernel,
         topo.n, L, A, n_steps, pol.n_layers, pol.H, P1, P1c, LW,
         pol.activation, best_prob, per_episode_seat, chunk, not interpret,
+        bank_bf16,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

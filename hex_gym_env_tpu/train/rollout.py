@@ -269,6 +269,7 @@ class SelfplayRunner:
             key, n_steps, self.cfg.best_prob,
             self.cfg.seat_mode == "per_episode",
             interpret=pol.interpret,
+            bank_bf16=getattr(self.cfg, "rollout_bank_bf16", False),
         )
         F = self.topo.num_cells
         obs_cells = out.obs[:, :, :F]

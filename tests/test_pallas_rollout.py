@@ -59,7 +59,7 @@ def _setup(seat_mode="per_episode"):
     return topo, model, runner, variables, bank, carry, cfg
 
 
-def _raw_rollout(topo, model, runner, variables, bank, carry, cfg, key):
+def _raw_rollout(topo, model, runner, variables, bank, carry, cfg, key, bank_bf16=False):
     pol = runner.fused_pol
     packed = pol.pack_agent(variables["params"])
     stacked = pol.stack_bank(bank)
@@ -77,7 +77,7 @@ def _raw_rollout(topo, model, runner, variables, bank, carry, cfg, key):
             use_best=carry.use_best, opp_idx=carry.opp_idx,
         ),
         key, T, cfg.best_prob, cfg.seat_mode == "per_episode",
-        interpret=True,
+        interpret=True, bank_bf16=bank_bf16,
     )
 
 
@@ -91,6 +91,19 @@ def test_fused_rollout_replays_exactly(seat_mode):
     )
     # episodes do finish within the horizon, so resets were exercised
     assert np.asarray(out.ints[..., pr.I_DONE]).sum() > 0
+
+
+def test_fused_rollout_bf16_bank_still_replays_exactly():
+    """bf16 bank matmuls change opponent LOGITS only; every env-semantic
+    invariant (and the agent's exact f32 value/logp) must still replay."""
+    topo, model, runner, variables, bank, carry, cfg = _setup()
+    out = _raw_rollout(
+        topo, model, runner, variables, bank, carry, cfg,
+        jax.random.key(13), bank_bf16=True,
+    )
+    pr.verify_rollout_trajectory(
+        topo, model, variables, carry, out, T, "per_episode", POOL
+    )
 
 
 def test_runner_fused_api_matches_raw():
