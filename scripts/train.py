@@ -44,10 +44,22 @@ def main() -> None:
                          "device dispatch (fast over a tunneled chip)")
     ap.add_argument("--env-step-impl", choices=["auto", "lax", "pallas"],
                     default=None)
-    ap.add_argument("--update-impl", choices=["auto", "lax", "pallas"],
+    ap.add_argument("--update-impl",
+                    choices=["auto", "lax", "pallas", "pallas-fast"],
                     default=None,
                     help="PPO epoch-sweep backend; auto fuses the sweep into "
-                         "one Pallas kernel on TPU for MLP policies")
+                         "one Pallas kernel on TPU for MLP policies; "
+                         "pallas-fast additionally swaps SB3's per-epoch "
+                         "reshuffle for the shuffle-once schedule (fastest; "
+                         "documented minibatch-stream deviation)")
+    ap.add_argument("--rollout-impl", choices=["auto", "scan", "fused"],
+                    default=None,
+                    help="rollout backend; fused runs ALL T steps in one "
+                         "Pallas kernel (auto picks it on TPU when the "
+                         "pallas policy path resolves)")
+    ap.add_argument("--bank-bf16", action="store_true",
+                    help="bf16 opponent-bank matmuls inside the fused "
+                         "rollout (stochastic-opponent logits deviation)")
     ap.add_argument("--policy-impl", choices=["auto", "lax", "pallas"],
                     default=None,
                     help="rollout policy-pass backend; auto uses the fused "
@@ -101,6 +113,10 @@ def main() -> None:
         overrides["update_impl"] = args.update_impl
     if args.policy_impl is not None:
         overrides["policy_impl"] = args.policy_impl
+    if args.rollout_impl is not None:
+        overrides["rollout_impl"] = args.rollout_impl
+    if args.bank_bf16:
+        overrides["rollout_bank_bf16"] = True
     if args.model_name is not None:
         overrides["model_name"] = args.model_name
     cfg = get_config(args.experiment, **overrides)
