@@ -162,8 +162,13 @@ def _apply_move(n, L, lane, s0, s1, labels, s_col, c, act_col):
 
 def _rollout_kernel(
     n, L, A, T, n_layers, H, P1, P1c, LW, activation, best_prob,
-    per_episode_seat, chunk, use_device_prng, bank_bf16, *refs,
+    per_episode_seat, chunk, use_device_prng, bank_bf16, eval_mode, *refs,
 ):
+    """``eval_mode=True`` is the evaluator variant (``Evaluator.play_vs_pool``
+    semantics, ``EvaluationCallback`` protocol): the agent plays its ARGMAX
+    action (SB3 eval ``deterministic=True``), the served opponent stays
+    stochastic, and finished games FREEZE instead of auto-resetting (rewards
+    emit once, then zeros) — no seat/opponent redraws, no opening moves."""
     F = n * n
     n_t = 2 * (n_layers + 1)
     act_fn = jnp.tanh if activation == "tanh" else (lambda v: jnp.maximum(v, 0.0))
@@ -253,8 +258,11 @@ def _rollout_kernel(
     value = head[:, A : A + 1]
 
     masked = jnp.where(legal_f > 0.0, logits, MASKED_LOGIT)
-    a_bits = draw_bits(agent_bits_ref, (B, A))
-    a_col = _sample_row(masked, _gumbel(a_bits))
+    if eval_mode:  # SB3 eval plays deterministically (masked.mode)
+        a_col = jnp.argmax(masked, axis=1, keepdims=True).astype(jnp.int32)
+    else:
+        a_bits = draw_bits(agent_bits_ref, (B, A))
+        a_col = _sample_row(masked, _gumbel(a_bits))
     zmax = jnp.max(masked, axis=1, keepdims=True)
     z = masked - zmax
     lse = jnp.log(jnp.sum(jnp.exp(z), axis=1, keepdims=True))
@@ -337,48 +345,53 @@ def _rollout_kernel(
     done_out = done
 
     # ---- 4. auto-reset + redraws + opponent opening ----------------------
-    # Mosaic has no unsigned-int reductions: bitcast the bit plane to int32
-    # before the lane extraction, then shift logically — the top-24-bit
-    # value is non-negative either way, giving uniform [0, 1) floats.
-    r_bits = pltpu.bitcast(draw_bits(reset_bits_ref, (B, 128)), jnp.int32)
-    to_unit = lambda col: (  # noqa: E731
-        jax.lax.shift_right_logical(col, 8).astype(jnp.float32)
-        * jnp.float32(2.0**-24)
-    )
-    u_seat = to_unit(_lane_col(r_bits, lane, 0))
-    u_best = to_unit(_lane_col(r_bits, lane, 1))
-    u_idx = to_unit(_lane_col(r_bits, lane, 2))
+    # (training mode only — eval freezes finished games instead)
+    if eval_mode:
+        fa_col = jnp.zeros_like(a_col)
+    else:
+        # Mosaic has no unsigned-int reductions: bitcast the bit plane to
+        # int32 before the lane extraction, then shift logically — the
+        # top-24-bit value is non-negative either way, giving uniform
+        # [0, 1) floats.
+        r_bits = pltpu.bitcast(draw_bits(reset_bits_ref, (B, 128)), jnp.int32)
+        to_unit = lambda col: (  # noqa: E731
+            jax.lax.shift_right_logical(col, 8).astype(jnp.float32)
+            * jnp.float32(2.0**-24)
+        )
+        u_seat = to_unit(_lane_col(r_bits, lane, 0))
+        u_best = to_unit(_lane_col(r_bits, lane, 1))
+        u_idx = to_unit(_lane_col(r_bits, lane, 2))
 
-    m = done
-    s0 = jnp.where(m, 0, s0)
-    s1 = jnp.where(m, 0, s1)
-    labels = jnp.where(m, lane, labels)
-    empty = jnp.where(m, F, empty)
-    tm = jnp.where(m, 0, tm)
-    mc = jnp.where(m, 0, mc)
-    done = jnp.where(m, 0, done.astype(jnp.int32)) != 0
+        m = done
+        s0 = jnp.where(m, 0, s0)
+        s1 = jnp.where(m, 0, s1)
+        labels = jnp.where(m, lane, labels)
+        empty = jnp.where(m, F, empty)
+        tm = jnp.where(m, 0, tm)
+        mc = jnp.where(m, 0, mc)
+        done = jnp.where(m, 0, done.astype(jnp.int32)) != 0
 
-    if per_episode_seat:
-        seat = jnp.where(m, (u_seat < 0.5).astype(jnp.int32), seat)
-    use_best = jnp.where(m, (u_best < best_prob).astype(jnp.int32), use_best)
-    new_idx = jnp.minimum(
-        (u_idx * (P1 - 1)).astype(jnp.int32), P1 - 2
-    )  # uniform over the P pool slots (P1-1 == best is excluded)
-    opp_idx = jnp.where(m, new_idx, opp_idx)
+        if per_episode_seat:
+            seat = jnp.where(m, (u_seat < 0.5).astype(jnp.int32), seat)
+        use_best = jnp.where(m, (u_best < best_prob).astype(jnp.int32), use_best)
+        new_idx = jnp.minimum(
+            (u_idx * (P1 - 1)).astype(jnp.int32), P1 - 2
+        )  # uniform over the P pool slots (P1-1 == best is excluded)
+        opp_idx = jnp.where(m, new_idx, opp_idx)
 
-    act3 = m & (seat == 1)
-    idx3 = jnp.where(use_best != 0, P1 - 1, opp_idx)
-    onehot3 = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, P1c), 1) == idx3
-    ).astype(jnp.float32)
-    first_logits = jnp.dot(onehot3, ft_ref[:], preferred_element_type=jnp.float32)
-    f_bits = draw_bits(first_bits_ref, (B, A))
-    fa_col = _sample_row(first_logits, _gumbel(f_bits))  # empty board: all legal
-    c3 = fa_col  # opener is seat 0 -> mover frame == world frame
-    s0, s1, labels, _ = _apply_move(n, L, lane, s0, s1, labels, tm, c3, act3)
-    empty = empty - act3.astype(jnp.int32)
-    tm = jnp.where(act3, 1 - tm, tm)
-    mc = mc + act3.astype(jnp.int32)
+        act3 = m & (seat == 1)
+        idx3 = jnp.where(use_best != 0, P1 - 1, opp_idx)
+        onehot3 = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, P1c), 1) == idx3
+        ).astype(jnp.float32)
+        first_logits = jnp.dot(onehot3, ft_ref[:], preferred_element_type=jnp.float32)
+        f_bits = draw_bits(first_bits_ref, (B, A))
+        fa_col = _sample_row(first_logits, _gumbel(f_bits))  # empty board: all legal
+        c3 = fa_col  # opener is seat 0 -> mover frame == world frame
+        s0, s1, labels, _ = _apply_move(n, L, lane, s0, s1, labels, tm, c3, act3)
+        empty = empty - act3.astype(jnp.int32)
+        tm = jnp.where(act3, 1 - tm, tm)
+        mc = mc + act3.astype(jnp.int32)
 
     # ---- emit ------------------------------------------------------------
     o_obs[0] = obs_f.astype(jnp.int32)
@@ -426,8 +439,11 @@ def fused_rollout(
     per_episode_seat: bool,
     interpret: bool = False,
     bank_bf16: bool = False,
+    eval_mode: bool = False,
 ) -> FusedRolloutOut:
-    """Run ``n_steps`` fused selfplay transitions; see module docstring."""
+    """Run ``n_steps`` fused selfplay transitions; see module docstring.
+    ``eval_mode`` switches to the evaluator semantics (argmax agent,
+    freeze-at-done, no resets — see ``_rollout_kernel``)."""
     B = state.batch_size
     L = topo.lanes
     A = topo.num_cells
@@ -510,7 +526,7 @@ def fused_rollout(
         _rollout_kernel,
         topo.n, L, A, n_steps, pol.n_layers, pol.H, P1, P1c, LW,
         pol.activation, best_prob, per_episode_seat, chunk, not interpret,
-        bank_bf16,
+        bank_bf16, eval_mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -651,3 +667,37 @@ def supported(model, cfg) -> bool:
     return (not cfg.sample_board) and pallas_policy.supported(
         model, cfg.buffer_size
     )
+
+
+def resolve(model, cfg) -> "PolicyOps | None":
+    """Shared gating for the fused-rollout consumers (``SelfplayRunner``,
+    ``Evaluator``): returns ``PolicyOps`` when the mega-kernel should drive
+    this (model, config), else None.
+
+    "auto" fuses only on TPU AND when the per-step pallas policy path
+    resolved too — a pinned ``policy_impl='lax'`` (the strict SB3-parity
+    presets) pins the jax.random sampling stream, which the fused kernel's
+    hardware PRNG would silently replace.  "fused" forces (raising when the
+    model/pool/board mode cannot be packed); "scan" disables.
+    """
+    from hex_gym_env_tpu.ops import pallas_policy
+
+    impl = getattr(cfg, "rollout_impl", "auto")
+    if impl not in ("auto", "scan", "fused"):
+        raise ValueError(
+            f"rollout_impl must be one of 'auto'/'scan'/'fused', got {impl!r}"
+        )
+    if impl == "scan":
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    pol_ok = pallas_policy.resolve_policy_ops(model, cfg) is not None
+    if impl == "fused" or (impl == "auto" and on_tpu and pol_ok):
+        if supported(model, cfg):
+            return PolicyOps(model, interpret=not on_tpu)
+        if impl == "fused":
+            raise ValueError(
+                "rollout_impl='fused' requires a plain equal-tower "
+                "MlpPolicy, a bank that fits the stacked-lane packing, "
+                "and sample_board=False"
+            )
+    return None

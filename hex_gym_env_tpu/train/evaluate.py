@@ -83,9 +83,14 @@ class Evaluator:
         self.topo = topo
         self.model = model
         self.cfg = cfg
+        from hex_gym_env_tpu.ops import pallas_rollout
         from hex_gym_env_tpu.train.rollout import resolve_step_impl
 
         self.step = resolve_step_impl(cfg.env_step_impl)
+        # eval as ONE Pallas launch (argmax agent, freeze-at-done) when the
+        # fused rollout path resolves; same gating -> strict presets (which
+        # pin the scan/lax streams) keep the lax evaluator
+        self.fused_pol = pallas_rollout.resolve(model, cfg)
 
     def _opponent_logits(self, served_params: Any, state) -> jnp.ndarray:
         """Served member i plays episode i: paired vmap over (snapshot_i, obs_i)."""
@@ -108,6 +113,8 @@ class Evaluator:
         topo, cfg = self.topo, self.cfg
         P = bank.size
         E = cfg.eval_episodes
+        if self.fused_pol is not None and not cfg.sample_board:
+            return self._play_vs_pool_fused(params, bank, key, fixed_seats)
         served = jax.tree.map(lambda x: x[serve_indices(E, P)], bank.params)
         k_board, k_seat, k_first, k_play = jax.random.split(key, 4)
 
@@ -147,6 +154,63 @@ class Evaluator:
             body, (state, jnp.zeros((E,), jnp.float32)), jax.random.split(k_play, n_pairs)
         )
         return total
+
+    def _play_vs_pool_fused(
+        self,
+        params: Any,
+        bank: OpponentBank,
+        key: jax.Array,
+        fixed_seats: jnp.ndarray | None,
+    ) -> jnp.ndarray:
+        """The whole eval pass as one mega-kernel launch
+        (``pallas_rollout.fused_rollout(eval_mode=True)``): agent argmax +
+        stochastic served opponents + freeze-at-done.  Same protocol and
+        distributions as the lax loop above; hardware-PRNG stream (the
+        ``policy_impl='pallas'`` deviation).  Replay-verified in
+        ``tests/test_pallas_rollout.py::test_fused_eval_replays_exactly``.
+        """
+        from hex_gym_env_tpu.ops import masked as masked_ops
+        from hex_gym_env_tpu.ops import pallas_rollout as pr
+
+        topo, cfg = self.topo, self.cfg
+        pol = self.fused_pol
+        E = cfg.eval_episodes
+        n = topo.n
+        serve = serve_indices(E, bank.size)
+        k_seat, k_first, k_play = jax.random.split(key, 3)
+        seat = eval_seats(cfg, k_seat, E, fixed_seats)
+
+        state = hex_env.initial_state(topo, E)
+        # opponent opens where it holds seat 0: served member's empty-board
+        # logits (one batched pass), masked draw, active-masked step
+        empty_b = jnp.zeros((1, n, n), jnp.float32)
+        members = jax.vmap(lambda v: self.model.apply(v, empty_b)[0][0])(bank.params)
+        logits0 = members[serve]  # (E, A)
+        legal0 = jnp.ones((E, topo.num_cells), bool)
+        a0 = masked_ops.sample(k_first, logits0, legal0)
+        state, _ = self.step(topo, state, a0, active=seat == 1)
+
+        packed = pol.pack_agent(params["params"])
+        stacked = pol.stack_bank(bank)
+        P1 = stacked.n_members
+        P1c = stacked.tensors[-1].shape[0]
+        ft = jnp.zeros((P1c, topo.num_cells), jnp.float32)  # unused in eval
+
+        n_pairs = topo.num_cells // 2 + 2
+        out = pr.fused_rollout(
+            topo, pol, packed, stacked.tensors, ft, state,
+            dict(
+                n_members=P1,
+                agent_seat=seat,
+                use_best=jnp.zeros((E,), bool),
+                opp_idx=serve.astype(jnp.int32),
+            ),
+            k_play, n_pairs, cfg.best_prob, False,
+            interpret=pol.interpret,
+            bank_bf16=getattr(cfg, "rollout_bank_bf16", False),
+            eval_mode=True,
+        )
+        return out.flts[..., pr.F_REWARD].sum(axis=0)
 
     def eval_and_update(
         self,

@@ -95,29 +95,9 @@ class SelfplayRunner:
         self.pol = pallas_policy.resolve_policy_ops(model, cfg)
         # whole-rollout mega-kernel (None -> per-step scan).  All T steps in
         # ONE Pallas launch (ops/pallas_rollout.py); ~5 launches + XLA glue
-        # per transition otherwise.
-        self.fused_pol = None
-        impl = getattr(cfg, "rollout_impl", "auto")
-        if impl not in ("auto", "scan", "fused"):
-            raise ValueError(
-                f"rollout_impl must be one of 'auto'/'scan'/'fused', got {impl!r}"
-            )
-        on_tpu = jax.default_backend() == "tpu"
-        # "auto" only fuses when the per-step pallas policy path resolved
-        # too: a pinned policy_impl="lax" (e.g. the strict SB3-parity
-        # presets) pins the jax.random sampling stream, which the fused
-        # kernel's hardware PRNG would silently replace.
-        if impl == "fused" or (impl == "auto" and on_tpu and self.pol is not None):
-            if pallas_rollout.supported(model, cfg):
-                self.fused_pol = pallas_policy.PolicyOps(
-                    model, interpret=not on_tpu
-                )
-            elif impl == "fused":
-                raise ValueError(
-                    "rollout_impl='fused' requires a plain equal-tower "
-                    "MlpPolicy, a bank that fits the stacked-lane packing, "
-                    "and sample_board=False"
-                )
+        # per transition otherwise.  Gating shared with the Evaluator
+        # (pallas_rollout.resolve).
+        self.fused_pol = pallas_rollout.resolve(model, cfg)
 
     # -- helpers -----------------------------------------------------------
 

@@ -150,3 +150,77 @@ def test_train_step_with_fused_rollout_smoke():
     assert np.isfinite(float(metrics.ppo.policy_loss))
     assert np.isfinite(float(metrics.ppo.value_loss))
     assert int(metrics.episodes_finished) > 0
+
+
+def test_fused_eval_replays_exactly():
+    """Eval-mode mega-kernel: argmax agent, stochastic served opponents,
+    freeze-at-done — replayed through the lax env ops step by step, and the
+    Evaluator's fused path must return exactly the replayed totals."""
+    from hex_gym_env_tpu.ops import masked as masked_ops
+    from hex_gym_env_tpu.train.evaluate import Evaluator, eval_seats, serve_indices
+
+    topo, model, runner, variables, bank, carry, cfg = _setup()
+    ev = Evaluator(topo, model, cfg)
+    assert ev.fused_pol is not None and ev.fused_pol.interpret
+    key = jax.random.key(77)
+    totals = ev.play_vs_pool(variables, bank, key)
+
+    # replicate the fused path's prologue to regenerate the kernel record
+    pol = ev.fused_pol
+    E = cfg.eval_episodes
+    serve = serve_indices(E, bank.size)
+    k_seat, k_first, k_play = jax.random.split(key, 3)
+    seat = eval_seats(cfg, k_seat, E, None)
+    state = hex_env.initial_state(topo, E)
+    empty_b = jnp.zeros((1, N, N), jnp.float32)
+    members = jax.vmap(lambda v: model.apply(v, empty_b)[0][0])(bank.params)
+    a0 = masked_ops.sample(
+        jax.random.split(key, 3)[1], members[serve],
+        jnp.ones((E, topo.num_cells), bool),
+    )
+    state, _ = hex_env.step(topo, state, a0, active=seat == 1)
+
+    packed = pol.pack_agent(variables["params"])
+    stacked = pol.stack_bank(bank)
+    P1 = stacked.n_members
+    P1c = stacked.tensors[-1].shape[0]
+    ft = jnp.zeros((P1c, topo.num_cells), jnp.float32)
+    n_pairs = topo.num_cells // 2 + 2
+    out = pr.fused_rollout(
+        topo, pol, packed, stacked.tensors, ft, state,
+        dict(n_members=P1, agent_seat=seat,
+             use_best=jnp.zeros((E,), bool), opp_idx=serve.astype(jnp.int32)),
+        k_play, n_pairs, cfg.best_prob, False,
+        interpret=True, eval_mode=True,
+    )
+
+    # replay: every step must re-derive from the lax env + argmax policy
+    ar = np.arange(E)
+    seat_np = np.asarray(seat)
+    st = state
+    total = np.zeros((E,), np.float32)
+    for t in range(n_pairs):
+        obs_ref = np.asarray(hex_env.observe(topo, st))
+        np.testing.assert_array_equal(
+            np.asarray(out.obs[t][:, : topo.num_cells]).reshape(E, N, N), obs_ref
+        )
+        legal = np.asarray(hex_env.legal_mask(topo, st))
+        logits, _ = model.apply(variables, obs_ref.astype(jnp.float32))
+        a_det = np.asarray(masked_ops.mode(logits, jnp.asarray(legal)))
+        a = np.asarray(out.ints[t, :, pr.I_ACTION])
+        live = ~np.asarray(st.done)
+        np.testing.assert_array_equal(a[live], a_det[live])
+        st1, rew1 = hex_env.step(topo, st, jnp.asarray(a))
+        oa = np.asarray(out.ints[t, :, pr.I_OPP_ACTION])
+        act2 = ~np.asarray(st1.done)
+        legal2 = np.asarray(hex_env.legal_mask(topo, st1))
+        assert legal2[ar, oa][act2].all()
+        st2, rew2 = hex_env.step(topo, st1, jnp.asarray(oa), active=jnp.asarray(act2))
+        got = np.asarray(rew1)[ar, seat_np] + np.asarray(rew2)[ar, seat_np]
+        np.testing.assert_allclose(np.asarray(out.flts[t, :, pr.F_REWARD]), got)
+        total += got
+        st = st2
+
+    assert np.asarray(st.done).all(), "eval horizon must finish every game"
+    np.testing.assert_allclose(np.asarray(totals), total)
+    assert set(np.asarray(totals).tolist()) <= {-1.0, 0.0, 1.0}
