@@ -1,20 +1,13 @@
 #!/usr/bin/env bash
-# Seed-variance sweep for strict-SB3-protocol replication (BASELINE
-# config 4: "match 5x5/6x6/7x7 SB3 curves within seed variance").
-#
-# 3 seeds x {5x5 @ 10M, 6x6 @ 10M, 7x7 @ 30M} strict presets, each..
-# matched 1024 games vs the closest-budget reference artifact.  Per-seed
-# eval curves land in log/<run>/metrics.jsonl; match outcomes append to
-# log/strict_seed_sweep.txt and log/strict_sweep_results.jsonl.
-#
-# Eval-seat note: these runs use the round-3 evaluator, which pins eval
-# seats to the rollout envs' fixed seats under seat_mode="fixed_random"
-# (the round-2 sweep redrew seats every eval; see VERDICT.md weakness 3).
+# Continuation of strict_seed_sweep.sh for round 3: the 6x6 seed-2 rerun
+# (its first attempt hit a wedged-tunnel hang) and the 7x7 @ 30M seeds.
+# Exports run on CPU (--cpu): exporting params needs no TPU, and eager
+# restore ops over the ~1s-RTT tunnel were costing ~11 min per export.
 set -u
 cd "$(dirname "$0")/.."
 OUT=log/strict_seed_sweep.txt
 JSONL=log/strict_sweep_results.jsonl
-echo "=== strict seed sweep (r3) $(date -u +%FT%TZ) ===" >> "$OUT"
+echo "=== strict sweep part 2 $(date -u +%FT%TZ) ===" >> "$OUT"
 
 run_one() {  # board seed total ref_spec
   local n=$1 seed=$2 total=$3 ref=$4
@@ -39,13 +32,8 @@ run_one() {  # board seed total ref_spec
     "$name" "$n" "$seed" "$total" "$ref" "$(echo "$mres" | tail -1)" >> "$JSONL"
 }
 
-for seed in 0 1 2; do
-  run_one 6 "$seed" 10000000 6x6_buffer_64_10.zip
-done
-for seed in 0 1 2; do
-  run_one 5 "$seed" 10000000 5x5_MLP-default_lr-0.0003_31
-done
+run_one 6 2 10000000 6x6_buffer_64_10.zip
 for seed in 0 1 2; do
   run_one 7 "$seed" 30000000 7x7_MLP-default_lr-0.0003_56
 done
-echo "=== sweep done $(date -u +%FT%TZ) ===" >> "$OUT"
+echo "=== part 2 done $(date -u +%FT%TZ) ===" >> "$OUT"
