@@ -658,21 +658,50 @@ def verify_rollout_trajectory(
     return state
 
 
-def supported(model, cfg) -> bool:
+# auto-mode VMEM ceiling for the mega-kernel (bytes).  The 16MB budget must
+# hold: carry blocks in+out, the double-buffered output streams, the stacked
+# bank tensors (lane-padded), and the row-chunked activation transients.
+MAX_VMEM_BYTES = 13 * 1024 * 1024
+
+
+def vmem_estimate(model, cfg, batch: int) -> int:
+    """Rough VMEM footprint of the fused kernel at ``batch`` rows: used by
+    the auto gate so oversized batches (e.g. a 4096-env PRNG soak test)
+    fall back to the scan path instead of failing/blowing the budget."""
+    H = model.pi_layers[0]
+    L = 128  # boards up to 11x11 lane-pack to 128
+    F8 = -(-(cfg.board_size**2) // 8) * 8  # sublane-padded input rows
+    P1 = cfg.buffer_size + 1
+    LW = -(-(P1 * H) // 128) * 128
+    chunk = 128 if batch % 128 == 0 else min(batch, 128)
+    carry = 2 * 3 * batch * L * 4 + 2 * 2 * batch * 8 * 4
+    streams = 3 * 2 * batch * L * 4  # (1,B,128) blocks, double-buffered
+    # W2s/Whs lane-pad to 128; W1s spans F8 sublanes; + bias stacks
+    bank = 2 * LW * 128 * 4 + LW * (F8 + 8) * 4
+    transients = 2 * chunk * LW * 4
+    agent = 3 * 128 * 128 * 4
+    return carry + streams + bank + transients + agent
+
+
+def supported(model, cfg, batch: int | None = None) -> bool:
     """Gate: plain equal-tower MLP, fused policy packing available, no
     sampled mid-game boards (the opening-table shortcut requires fresh
-    resets to be empty boards, like the scan path's ``first_move_logits``)."""
+    resets to be empty boards, like the scan path's ``first_move_logits``),
+    and — when ``batch`` is given — a VMEM footprint inside the budget."""
     from hex_gym_env_tpu.ops import pallas_policy
 
-    return (not cfg.sample_board) and pallas_policy.supported(
-        model, cfg.buffer_size
-    )
+    if cfg.sample_board or not pallas_policy.supported(model, cfg.buffer_size):
+        return False
+    if batch is not None and vmem_estimate(model, cfg, batch) > MAX_VMEM_BYTES:
+        return False
+    return True
 
 
-def resolve(model, cfg) -> "PolicyOps | None":
-    """Shared gating for the fused-rollout consumers (``SelfplayRunner``,
-    ``Evaluator``): returns ``PolicyOps`` when the mega-kernel should drive
-    this (model, config), else None.
+def resolve(model, cfg, batch: int | None = None) -> "PolicyOps | None":
+    """Shared gating for the fused-rollout consumers (``SelfplayRunner``
+    passes ``batch=n_envs``, ``Evaluator`` ``batch=eval_episodes``): returns
+    ``PolicyOps`` when the mega-kernel should drive this (model, config,
+    batch), else None.
 
     "auto" fuses only on TPU AND when the per-step pallas policy path
     resolved too — a pinned ``policy_impl='lax'`` (the strict SB3-parity
@@ -692,12 +721,13 @@ def resolve(model, cfg) -> "PolicyOps | None":
     on_tpu = jax.default_backend() == "tpu"
     pol_ok = pallas_policy.resolve_policy_ops(model, cfg) is not None
     if impl == "fused" or (impl == "auto" and on_tpu and pol_ok):
-        if supported(model, cfg):
+        if supported(model, cfg, batch):
             return PolicyOps(model, interpret=not on_tpu)
         if impl == "fused":
             raise ValueError(
                 "rollout_impl='fused' requires a plain equal-tower "
                 "MlpPolicy, a bank that fits the stacked-lane packing, "
-                "and sample_board=False"
+                "sample_board=False, and a batch whose VMEM footprint "
+                f"fits the kernel budget ({MAX_VMEM_BYTES >> 20}MB)"
             )
     return None

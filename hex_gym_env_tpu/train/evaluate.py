@@ -90,7 +90,9 @@ class Evaluator:
         # eval as ONE Pallas launch (argmax agent, freeze-at-done) when the
         # fused rollout path resolves; same gating -> strict presets (which
         # pin the scan/lax streams) keep the lax evaluator
-        self.fused_pol = pallas_rollout.resolve(model, cfg)
+        self.fused_pol = pallas_rollout.resolve(
+            model, cfg, batch=cfg.eval_episodes
+        )
 
     def _opponent_logits(self, served_params: Any, state) -> jnp.ndarray:
         """Served member i plays episode i: paired vmap over (snapshot_i, obs_i)."""

@@ -97,7 +97,7 @@ class SelfplayRunner:
         # ONE Pallas launch (ops/pallas_rollout.py); ~5 launches + XLA glue
         # per transition otherwise.  Gating shared with the Evaluator
         # (pallas_rollout.resolve).
-        self.fused_pol = pallas_rollout.resolve(model, cfg)
+        self.fused_pol = pallas_rollout.resolve(model, cfg, batch=cfg.n_envs)
 
     # -- helpers -----------------------------------------------------------
 

