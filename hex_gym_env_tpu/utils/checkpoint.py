@@ -68,9 +68,20 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found under {self._dir}")
-        raw = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(_unwrap_keys(state_template))
-        )
+        # Abstract template leaves without shardings make orbax fall back to
+        # the sharding FILE — which names the devices of the SAVING run, so
+        # restoring a TPU-trained checkpoint on the CPU backend (e.g.
+        # ``export_agent.py --cpu``) fails with "Device ... not found".
+        # Pin shardingless abstract leaves to the current backend instead.
+        dev_sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+        def pin(x):
+            if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None:
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=dev_sharding)
+            return x
+
+        template = jax.tree.map(pin, _unwrap_keys(state_template))
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return _rewrap_keys(raw, state_template)
 
     def latest_step(self) -> int | None:
