@@ -81,7 +81,7 @@ for _n, _ef in ((5, 10_000), (6, 5_000), (7, 10_000)):
     REGISTRY[f"{_n}x{_n}_strict_sb3"] = TrainConfig(
         ppo=PPOConfig(
             learning_rate=3e-4, n_steps=2048, minibatch_size=64,
-            update_impl="lax",
+            update_impl="lax", gae_impl="lax",
         ),
         selfplay=SelfplayConfig(
             board_size=_n, n_envs=8, buffer_size=30, policy="MLP-default",

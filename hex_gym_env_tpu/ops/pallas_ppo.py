@@ -383,9 +383,9 @@ def make_pallas_update_fn(model, cfg: PPOConfig, interpret: bool = False):
         n_mb = n // mbs
         G = cfg.n_epochs * n_mb
 
-        # --- identical permutation stream to make_update_fn ---
-        epoch_keys = jax.random.split(key, cfg.n_epochs)
-        perms = jax.vmap(lambda k: jax.random.permutation(k, n))(epoch_keys)
+        # --- identical permutation stream to make_update_fn (one batched
+        # 2-key sort for all epochs; see ppo.epoch_permutations) ---
+        perms = ppo.epoch_permutations(key, n, cfg.n_epochs)
         idx = perms[:, : n_mb * mbs].reshape(G, mbs)
 
         # int8 boards keep the big gather and the HBM stream 4x lean; the
@@ -496,10 +496,8 @@ def fast_schedule(key: jax.Array, n: int, mbs: int, n_epochs: int):
     """
     n_mb = n // mbs
     k_row, k_order = jax.random.split(key)
-    rowperm = jax.random.permutation(k_row, n)
-    order = jax.vmap(lambda k: jax.random.permutation(k, n_mb))(
-        jax.random.split(k_order, n_epochs)
-    ).reshape(-1).astype(jnp.int32)
+    rowperm = ppo.epoch_permutations(k_row, n, 1)[0]
+    order = ppo.epoch_permutations(k_order, n_mb, n_epochs).reshape(-1)
     return rowperm, order
 
 

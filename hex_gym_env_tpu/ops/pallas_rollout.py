@@ -690,6 +690,11 @@ def supported(model, cfg, batch: int | None = None) -> bool:
     and — when ``batch`` is given — a VMEM footprint inside the budget."""
     from hex_gym_env_tpu.ops import pallas_policy
 
+    if cfg.board_size**2 + 4 > 128:
+        # The kernel and its vmem_estimate hardcode 128-lane packing (board
+        # cells + 4 meta slots in one lane row); 12x12+ needs 256 lanes and
+        # must take the scan path rather than fail at trace time.
+        return False
     if cfg.sample_board or not pallas_policy.supported(model, cfg.buffer_size):
         return False
     if batch is not None and vmem_estimate(model, cfg, batch) > MAX_VMEM_BYTES:

@@ -96,6 +96,24 @@ class DistributedSelfplayPPO(SelfplayPPO):
     def init_sharded_state(self, key: jax.Array) -> TrainState:
         return self.shard_state(self.init_state(key))
 
+    def state_shardings(self, template: TrainState) -> TrainState:
+        """Target layout pytree for checkpoint restore: carry on the data
+        axis, everything else replicated (mirrors ``shard_state``), so
+        ``CheckpointManager.restore`` can land the state directly in the
+        mesh layout instead of pinning it to device 0."""
+        from hex_gym_env_tpu.parallel.mesh import batch_sharding, replicated
+
+        rep, bat = replicated(self.mesh), batch_sharding(self.mesh)
+        return TrainState(
+            params=jax.tree.map(lambda _: rep, template.params),
+            opt_state=jax.tree.map(lambda _: rep, template.opt_state),
+            bank=jax.tree.map(lambda _: rep, template.bank),
+            carry=jax.tree.map(lambda _: bat, template.carry),
+            key=rep,
+            iteration=rep,
+            eval_accum=rep,
+        )
+
     # -- SPMD train step ---------------------------------------------------
 
     def _build_step(self):

@@ -56,6 +56,8 @@ def _put(x, sh: NamedSharding):
     value, so slicing by global index yields consistent shards).  Typed PRNG
     keys are routed through their raw uint32 data.
     """
+    if isinstance(x, jax.Array) and getattr(x, "sharding", None) == sh:
+        return x  # already placed (e.g. shard_state on a mesh-restored state)
     if jax.process_count() == 1:
         return jax.device_put(x, sh)
     if _is_key(x):

@@ -64,11 +64,29 @@ class SelfplayPPO:
         """Same recurrence, same operation order, two lowerings: the lax
         reverse scan, or one fully-unrolled VMEM-resident Pallas kernel on
         TPU for short rollouts (``ops/pallas_gae.py``) — the scan's
-        per-iteration launch overhead is ~2.7 ms at the headline shape."""
+        per-iteration launch overhead is ~2.7 ms at the headline shape.
+        Backend selection follows ``cfg.ppo.gae_impl`` ("auto"/"lax"/
+        "pallas"); hardware equality of the two lowerings is to MXU
+        tolerance only, so configs that pin the lax paths (strict SB3
+        presets) pin "lax" here too rather than escape incidentally."""
         import jax as _jax
 
         from hex_gym_env_tpu.ops import pallas_gae
 
+        impl = self.cfg.ppo.gae_impl
+        if impl not in ("auto", "lax", "pallas"):
+            raise ValueError(
+                f"gae_impl must be one of 'auto'/'lax'/'pallas', got {impl!r}"
+            )
+        if impl == "lax":
+            return gae.compute_gae
+        if impl == "pallas":
+            if self.cfg.ppo.n_steps > pallas_gae.MAX_UNROLL_STEPS:
+                raise ValueError(
+                    f"gae_impl='pallas' unrolls all steps in VMEM; n_steps "
+                    f"{self.cfg.ppo.n_steps} > {pallas_gae.MAX_UNROLL_STEPS}"
+                )
+            return pallas_gae.compute_gae
         if (
             _jax.default_backend() == "tpu"
             and self.cfg.ppo.n_steps <= pallas_gae.MAX_UNROLL_STEPS

@@ -74,7 +74,12 @@ class Trainer:
 
     def resume(self) -> TrainState:
         template = jax.eval_shape(lambda: self.init_state())
-        return self._ckpt_mgr().restore(template)
+        shardings = (
+            self.algo.state_shardings(template)
+            if hasattr(self.algo, "state_shardings")
+            else None
+        )
+        return self._ckpt_mgr().restore(template, shardings=shardings)
 
     def _save_checkpoint(self, steps: int, state: TrainState, best0: float) -> None:
         """Checkpoint + best-snapshot save.

@@ -64,7 +64,12 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(_unwrap_keys(state)), force=force)
         self._mgr.wait_until_finished()
 
-    def restore(self, state_template: Any, step: int | None = None) -> Any:
+    def restore(
+        self,
+        state_template: Any,
+        step: int | None = None,
+        shardings: Any = None,
+    ) -> Any:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found under {self._dir}")
@@ -72,15 +77,26 @@ class CheckpointManager:
         # the sharding FILE — which names the devices of the SAVING run, so
         # restoring a TPU-trained checkpoint on the CPU backend (e.g.
         # ``export_agent.py --cpu``) fails with "Device ... not found".
-        # Pin shardingless abstract leaves to the current backend instead.
-        dev_sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        # Pin shardingless abstract leaves to the CALLER's target layout
+        # (``shardings``: a pytree congruent with the template, e.g. from
+        # ``DistributedSelfplayPPO.state_shardings``) so a mesh restore
+        # lands directly sharded; with no target, pin to the current
+        # backend's device 0 (correct for single-device use; mesh callers
+        # should pass ``shardings`` rather than rely on jit-entry reshard).
+        if shardings is None:
+            dev = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+            sharding_tree = jax.tree.map(lambda _: dev, state_template)
+        else:
+            sharding_tree = shardings
 
-        def pin(x):
+        def pin(x, sh):
             if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None:
-                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=dev_sharding)
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
             return x
 
-        template = jax.tree.map(pin, _unwrap_keys(state_template))
+        # ``_unwrap_keys`` preserves tree structure (typed-key leaves become
+        # raw-uint32 leaves), so the sharding tree maps leaf-for-leaf.
+        template = jax.tree.map(pin, _unwrap_keys(state_template), sharding_tree)
         raw = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return _rewrap_keys(raw, state_template)
 

@@ -38,6 +38,12 @@ class PPOConfig:
     # fastest sweep, with a documented minibatch-stream deviation; "auto"
     # never selects it, and strict SB3-parity presets pin "lax".
     update_impl: str = "auto"  # "auto" | "lax" | "pallas" | "pallas-fast"
+    # GAE backend: "auto" takes the fully-unrolled Pallas kernel
+    # (ops/pallas_gae.py) on TPU when n_steps fits its unroll bound, else
+    # the lax reverse scan; "lax"/"pallas" pin it explicitly.  Strict
+    # SB3-parity presets pin "lax" so their recurrence lowering matches the
+    # CI-verified scan bit-for-bit rather than to hardware tolerance.
+    gae_impl: str = "auto"  # "auto" | "lax" | "pallas"
 
     def validate(self, n_envs: int) -> None:
         total = self.n_steps * n_envs

@@ -159,8 +159,7 @@ def main() -> None:
 
     @jax.jit
     def prologue(b: ppo.PPOBatch, key):
-        epoch_keys = jax.random.split(key, cfg.ppo.n_epochs)
-        perms = jax.vmap(lambda k: jax.random.permutation(k, n))(epoch_keys)
+        perms = ppo.epoch_permutations(key, n, cfg.ppo.n_epochs)
         idx = perms[:, : n_mb * mbs].reshape(G, mbs)
         return (
             b.obs.reshape(n, -1).astype(jnp.int8)[idx],

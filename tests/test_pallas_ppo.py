@@ -25,6 +25,9 @@ def _batch(n, seed=0):
     rng = np.random.default_rng(seed)
     boards = rng.choice(np.array([-1, 0, 1], np.int8), size=(n, N, N))
     boards.reshape(n, A)[np.arange(n), rng.integers(0, A, n)] = 0
+    # PPOBatch invariant (train/ppo.py): legal must equal obs==0 — the
+    # Pallas sweep kernels re-derive the mask in-kernel from obs and never
+    # read ``legal``, so test batches must honor the producer contract.
     legal = boards.reshape(n, A) == 0
     u = rng.random((n, A))
     actions = np.argmax(np.where(legal, u, -1.0), axis=1).astype(np.int32)

@@ -224,3 +224,41 @@ def test_fused_eval_replays_exactly():
     assert np.asarray(st.done).all(), "eval horizon must finish every game"
     np.testing.assert_allclose(np.asarray(totals), total)
     assert set(np.asarray(totals).tolist()) <= {-1.0, 0.0, 1.0}
+
+
+def test_supported_gates_large_boards():
+    """Boards needing >128 lanes (12x12+) must fall back to the scan path
+    rather than fail at trace time — the kernel hardcodes 128-lane packing
+    (cells + 4 meta slots)."""
+    model = make_policy("MLP-default", 12 * 12)
+    cfg = SelfplayConfig(board_size=12, n_envs=8, buffer_size=4)
+    assert not pr.supported(model, cfg)
+    cfg11 = SelfplayConfig(board_size=11, n_envs=8, buffer_size=4)
+    assert pr.supported(make_policy("MLP-default", 11 * 11), cfg11)
+
+
+def test_gae_impl_flag():
+    """gae_impl pins the GAE lowering: 'lax' always takes the scan, and
+    'pallas' raises when n_steps exceeds the kernel's unroll bound instead
+    of silently swapping backends (ADVICE r3)."""
+    from hex_gym_env_tpu.ops import pallas_gae
+    from hex_gym_env_tpu.train import gae as gae_mod
+
+    cfg = TrainConfig(
+        ppo=PPOConfig(n_steps=16, minibatch_size=64, gae_impl="lax"),
+        selfplay=SelfplayConfig(board_size=5, n_envs=8, buffer_size=4),
+        total_timesteps=128,
+    )
+    assert SelfplayPPO(cfg).gae_fn is gae_mod.compute_gae
+
+    big = TrainConfig(
+        ppo=PPOConfig(
+            n_steps=pallas_gae.MAX_UNROLL_STEPS + 1,
+            minibatch_size=64,
+            gae_impl="pallas",
+        ),
+        selfplay=SelfplayConfig(board_size=5, n_envs=64, buffer_size=4),
+        total_timesteps=128,
+    )
+    with pytest.raises(ValueError, match="gae_impl"):
+        SelfplayPPO(big)

@@ -179,18 +179,14 @@ def test_sb3_update_parity():
     variables = _flax_variables()
     pbatch = _ppo_batch(batch, adv, ret)
 
-    # --- replicate the exact permutation stream make_update_fn will draw ---
+    # --- replicate the exact permutation stream make_update_fn will draw
+    # (ppo.epoch_permutations — the shared generator of every sweep backend)
     key = jax.random.key(7)
-    epoch_keys = jax.random.split(key, cfg.n_epochs)
     n_mb = n // cfg.minibatch_size
-    idx_rows = []
-    for k in epoch_keys:
-        perm = np.asarray(jax.random.permutation(k, n))
-        idx_rows += [
-            perm[i * cfg.minibatch_size : (i + 1) * cfg.minibatch_size]
-            for i in range(n_mb)
-        ]
-    idx_rows = np.stack(idx_rows)
+    perms = np.asarray(ppo.epoch_permutations(key, n, cfg.n_epochs))
+    idx_rows = perms[:, : n_mb * cfg.minibatch_size].reshape(
+        cfg.n_epochs * n_mb, cfg.minibatch_size
+    )
 
     # --- first-minibatch loss + gradient parity ---
     loss_fn = ppo.make_loss_fn(model, cfg)

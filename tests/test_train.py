@@ -125,6 +125,11 @@ def test_rollout_invariants():
     T, B = actions.shape
     picked = np.take_along_axis(legal.reshape(T, B, -1), actions[..., None], axis=-1)
     assert picked.all()
+    # PPOBatch producer contract (train/ppo.py): legal == (obs == 0).  The
+    # fused Pallas sweep kernels re-derive the mask in-kernel from obs and
+    # never read ``legal`` — this is the invariant that makes that valid.
+    obs = np.asarray(tr.obs)
+    assert np.array_equal(legal.reshape(T, B, -1), obs.reshape(T, B, -1) == 0)
     # rewards only on terminal transitions, and in {-1, 0, 1}
     assert set(np.unique(rewards)).issubset({-1.0, 0.0, 1.0})
     assert (rewards[~dones] == 0).all()
@@ -339,3 +344,21 @@ def test_n_eval_episodes_shapes_flow_through_fused_span():
         algo.train_and_eval_steps, static_argnums=1
     )(state, 2)
     assert r.rewards.shape == (2, 7)
+
+
+def test_epoch_permutations_are_uniform_permutations():
+    """The shared sweep permutation generator: every row is a permutation
+    of range(n), rows are mutually distinct, and the stream is a pure
+    function of the key (the property all sweep backends rely on)."""
+    from hex_gym_env_tpu.train import ppo as ppo_mod
+
+    n, E = 512, 6
+    perms = np.asarray(ppo_mod.epoch_permutations(jax.random.key(3), n, E))
+    assert perms.shape == (E, n) and perms.dtype == np.int32
+    for row in perms:
+        assert np.array_equal(np.sort(row), np.arange(n))
+    assert len({tuple(r) for r in perms}) == E
+    again = np.asarray(ppo_mod.epoch_permutations(jax.random.key(3), n, E))
+    assert np.array_equal(perms, again)
+    other = np.asarray(ppo_mod.epoch_permutations(jax.random.key(4), n, E))
+    assert not np.array_equal(perms, other)
