@@ -95,8 +95,17 @@ class Evaluator:
         )
 
     def _opponent_logits(self, served_params: Any, state) -> jnp.ndarray:
-        """Served member i plays episode i: paired vmap over (snapshot_i, obs_i)."""
+        """Served member i plays episode i.
+
+        MLP: paired vmap over (snapshot_i, obs_i).  CNN: E batch-1 vmapped
+        conv forwards lower terribly; the grouped stacked forward runs all
+        served members as one conv per layer (``models/cnn.bank_logits``
+        with ``paired=True``)."""
+        from hex_gym_env_tpu.models.cnn import CnnPolicy, bank_logits
+
         obs_f = hex_env.observe(self.topo, state).astype(jnp.float32)
+        if isinstance(self.model, CnnPolicy):
+            return bank_logits(self.model, served_params, obs_f, paired=True)
         return jax.vmap(
             lambda v, o: self.model.apply(v, o[None])[0][0]
         )(served_params, obs_f)

@@ -119,14 +119,32 @@ class SelfplayRunner:
     ):
         obs_f = hex_env.observe(self.topo, state).astype(jnp.float32)
         legal = hex_env.legal_mask(self.topo, state)
-        per_member = jax.vmap(
-            lambda v: self.model.apply(v, obs_f)[0]
-        )(bank.params)  # (P, B, A)
+        per_member = self.bank_forward(bank.params, obs_f)  # (P, B, A)
         chosen = jnp.take_along_axis(
             per_member, opp_idx[None, :, None], axis=0
         )[0]  # (B, A)
         best = self.model.apply(bank.best_params, obs_f)[0]
         return jnp.where(use_best[:, None], best, chosen), legal
+
+    def bank_forward(self, stacked_variables, obs_f: jnp.ndarray) -> jnp.ndarray:
+        """All members' logits over a shared batch, (P, B, A).
+
+        CNN banks take the grouped-conv/BN-folded stacked forward
+        (``models/cnn.bank_logits``) — ``vmap`` of a per-member conv makes
+        XLA lower each layer with ``batch_group_count=P`` plus 5 BatchNorm
+        layers of VPU work per member; the grouped forward is one op per
+        layer with the member axis in the channel dim (VERDICT r3 item 6).
+        """
+        from hex_gym_env_tpu.models.cnn import CnnPolicy, bank_logits
+
+        if isinstance(self.model, CnnPolicy):
+            dtype = (
+                jnp.bfloat16
+                if getattr(self.cfg, "rollout_bank_bf16", False)
+                else jnp.float32
+            )
+            return bank_logits(self.model, stacked_variables, obs_f, dtype=dtype)
+        return jax.vmap(lambda v: self.model.apply(v, obs_f)[0])(stacked_variables)
 
     def opponent_move(
         self, bank: OpponentBank, use_best, opp_idx, state: HexState,
@@ -154,7 +172,7 @@ class SelfplayRunner:
         """
         n = self.topo.n
         empty = jnp.zeros((1, n, n), jnp.float32)
-        members = jax.vmap(lambda v: self.model.apply(v, empty)[0][0])(bank.params)
+        members = self.bank_forward(bank.params, empty)[:, 0]  # (P, A)
         best = self.model.apply(bank.best_params, empty)[0][0]
         return members, best
 

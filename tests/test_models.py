@@ -129,3 +129,40 @@ def test_single_legal_action_distribution():
     assert int(masked.sample(jax.random.key(0), logits, legal)[0]) == 2
     assert float(masked.entropy(logits, legal)[0]) == pytest.approx(0.0, abs=1e-6)
     assert float(masked.log_prob(logits, legal, jnp.array([2]))[0]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cnn_bank_logits_matches_per_member_apply():
+    """The grouped-conv stacked bank forward (models/cnn.bank_logits) must
+    reproduce vmapped ``model.apply(train=False)`` member-by-member: BN
+    folding + feature-grouped convs are a re-association of the same math
+    (tolerance: f32 reassociation on ~30-magnitude logits)."""
+    from hex_gym_env_tpu.models import cnn as cnn_mod
+
+    n, P, B = 5, 3, 7
+    model = CnnPolicy(n_actions=n * n)
+    dummy = jnp.zeros((1, n, n), jnp.float32)
+    members = [model.init(k, dummy) for k in jax.random.split(jax.random.key(0), P)]
+
+    def perturb(i, m):
+        m = jax.tree.map(
+            lambda x: x + 0.1 * jax.random.normal(jax.random.key(i), x.shape), m
+        )
+        return {"params": m["params"],
+                "batch_stats": jax.tree.map(jnp.abs, m["batch_stats"])}
+
+    members = [perturb(i, m) for i, m in enumerate(members)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+    obs = jax.random.normal(jax.random.key(9), (B, n, n))
+
+    ref = jnp.stack([model.apply(m, obs)[0] for m in members])
+    got = cnn_mod.bank_logits(model, stacked, obs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    obs_p = jax.random.normal(jax.random.key(10), (P, n, n))
+    ref_p = jnp.stack(
+        [model.apply(m, obs_p[i : i + 1])[0][0] for i, m in enumerate(members)]
+    )
+    got_p = cnn_mod.bank_logits(model, stacked, obs_p, paired=True)
+    np.testing.assert_allclose(
+        np.asarray(got_p), np.asarray(ref_p), rtol=1e-3, atol=1e-4
+    )
