@@ -4,11 +4,15 @@ Matches BASELINE.json config 3: lockstep rollouts over 8192 seven-by-seven
 games — uniform-random *legal* moves, full win-check every move, auto-reset
 on termination; steps/s counts applied moves per second.
 
-Two implementations of the same semantics are measured and the faster wins:
+Three implementations of the same semantics are measured and the fastest
+wins:
 
 1. the fused Pallas kernel (``ops/pallas_step.random_rollout``): all T steps
    inside one kernel launch, state VMEM-resident, hardware PRNG;
-2. the composable lax path (public ``core.env`` API under ``lax.scan``).
+2. the composable public API with auto dispatch (``core.env.make_ops`` —
+   one Pallas launch per ``step`` call, lax observe/legal/sample/reset);
+3. the pure-lax composable path (``core.env`` primitives under
+   ``lax.scan``).
 
 vs_baseline is against the driver north-star target of 10M env-steps/s on
 one host (BASELINE.md; the reference itself publishes no numbers — its code
@@ -46,8 +50,10 @@ def drain(x) -> None:
     jax.device_get(jax.tree.leaves(x)[0].ravel()[:1])
 
 
-def bench_lax(topo) -> float:
-    fresh = hex_env.initial_state(topo, BATCH)
+def bench_composable(topo, impl: str) -> float:
+    """The public composable path: ops resolved once via ``make_ops``."""
+    ops = hex_env.make_ops(topo, impl=impl)
+    fresh = ops.initial_state(BATCH)
 
     @jax.jit
     def run(state, key):
@@ -55,16 +61,16 @@ def bench_lax(topo) -> float:
 
         def body(carry, k):
             st = carry
-            legal = hex_env.legal_mask(topo, st)
+            legal = ops.legal_mask(st)
             action = masked.sample(k, zeros, legal)
-            st, _ = hex_env.step(topo, st, action)
-            st = hex_env.reset_where(topo, st, st.done, fresh)
+            st, _ = ops.step(st, action)
+            st = ops.reset_where(st, st.done, fresh)
             return st, None
 
         state, _ = jax.lax.scan(body, state, jax.random.split(key, STEPS_PER_CALL))
         return state
 
-    state = hex_env.initial_state(topo, BATCH)
+    state = ops.initial_state(BATCH)
     state = run(state, jax.random.key(0))
     drain(state)
 
@@ -101,19 +107,52 @@ def main() -> None:
         pallas_rate = bench_pallas(topo)
     except Exception as e:  # a Pallas regression must be loud, not a silent lax fallback
         pallas_error = f"{type(e).__name__}: {e}"
-    lax_rate = bench_lax(topo)
-    steps_per_s = max(pallas_rate, lax_rate)
+    api_rate, api_error = 0.0, None
+    try:
+        api_rate = bench_composable(topo, "auto")
+    except Exception as e:
+        api_error = f"{type(e).__name__}: {e}"
+    lax_rate = bench_composable(topo, "lax")
+    steps_per_s = max(pallas_rate, api_rate, lax_rate)
     record = {
         "metric": "hex_env_steps_per_s_7x7_b8192",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / TARGET, 3),
         "pallas_steps_per_s": round(pallas_rate, 1),
+        "api_steps_per_s": round(api_rate, 1),
         "lax_steps_per_s": round(lax_rate, 1),
-        "winner": "pallas" if pallas_rate >= lax_rate else "lax",
+        "winner": max(
+            [("pallas", pallas_rate), ("api", api_rate), ("lax", lax_rate)],
+            key=lambda kv: kv[1],
+        )[0],
     }
     if pallas_error is not None:
         record["pallas_error"] = pallas_error
+    if api_error is not None:
+        record["api_error"] = api_error
+
+    # Roofline attribution (VERDICT r3 weakness 5).  Env stepping runs NO
+    # matmuls — its model FLOPs are zero and the honest roofline axis is
+    # HBM: the composable paths read+write the full state tree every step
+    # (plus the sampling intermediates), while the fused kernel keeps state
+    # VMEM-resident and only pays its launch + carry traffic.
+    from hex_gym_env_tpu.utils import roofline
+
+    state_bytes = sum(x.nbytes for x in jax.tree.leaves(hex_env.initial_state(topo, BATCH)))
+    bytes_per_step = 2 * state_bytes + 3 * BATCH * topo.num_cells * 4
+    record["roofline"] = {
+        "flops_per_s": 0.0,
+        "note": "env stepping has no GEMMs; HBM is the roofline axis",
+        "composable_bytes_per_step_model": bytes_per_step,
+        "api_pct_peak_hbm": round(
+            100.0 * bytes_per_step * api_rate / roofline.PEAK_HBM_BPS, 2
+        ) if api_rate else None,
+        "lax_pct_peak_hbm": round(
+            100.0 * bytes_per_step * lax_rate / roofline.PEAK_HBM_BPS, 2
+        ),
+        "pallas_kernel": "state VMEM-resident; not HBM-bound by design",
+    }
     print(json.dumps(record))
 
 

@@ -16,6 +16,7 @@ only when a GUI is actually requested.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import numpy as np
@@ -71,7 +72,17 @@ class Gui:
         pygame.init()
         self.screen = pygame.display.set_mode((width, height))
         pygame.display.set_caption("hex_gym_env_tpu")
-        self.font = pygame.font.SysFont(None, max(14, radius // 2))
+        # The reference ships its own GUI font (``fonts/FallingSky-JKwK.otf``,
+        # loaded at reference gui.py:65-67); we bundle the freely-licensed
+        # DejaVu Sans instead (fonts/ + DEJAVU-LICENSE) so rendering is
+        # identical across machines, falling back to the system default if
+        # the asset is missing from a stripped install.
+        font_path = os.path.join(os.path.dirname(__file__), "fonts", "DejaVuSans.ttf")
+        size = max(14, radius // 2)
+        try:
+            self.font = pygame.font.Font(font_path, size)
+        except (FileNotFoundError, OSError):
+            self.font = pygame.font.SysFont(None, size)
         self.field_text: Optional[np.ndarray] = None
         # ratings-overlay visibility: off by default, toggled by the `s`
         # key (reference gui.py:50 defines it, :131 gates drawing on it,

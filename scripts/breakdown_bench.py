@@ -54,7 +54,12 @@ def main() -> None:
     p.add_argument("--policy-impl", default="auto")
     p.add_argument("--update-impl", default="auto")
     p.add_argument("--rollout-impl", default="auto")
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU (the axon plugin ignores JAX_PLATFORMS)")
     args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = TrainConfig(
         ppo=PPOConfig(
@@ -77,18 +82,62 @@ def main() -> None:
     per_iter = args.n_steps * args.n_envs
     report: dict[str, float] = {}
 
+    # --- analytic stage models for the roofline attribution ---------------
+    # (executed-GEMM counts; see utils/roofline.py.  The fused rollout's
+    # lane-padded bank GEMMs are counted at their semantic width — padding
+    # lanes are not credited, so its pct_peak_flops is a slight UNDER-count.)
+    from hex_gym_env_tpu.utils import roofline
+
+    N = args.board_size
+    F = A = N * N
+    H = algo.model.pi_layers[0]
+    NL = len(algo.model.pi_layers)
+    P1 = args.buffer_size + 1
+    L = 128
+    fwd = roofline.mlp_forward_flops(F, H, NL, A)
+    opp = P1 * roofline.policy_tower_flops(F, H, NL, A)
+    stage_models = {
+        # per-transition: one agent fwd + one dense bank pass (opponent
+        # reply); bytes: the kernel's three (B, L) f32 output streams per
+        # step (state itself stays VMEM-resident)
+        "rollout": (per_iter * (fwd + opp), per_iter * 3 * L * 4),
+        # 10-epoch sweep: fwd+bwd ~ 3x fwd GEMM flops per sample visit;
+        # bytes: int8 obs stream + packed float scalars, read once
+        "update": (
+            per_iter * args.n_epochs * 3 * fwd,
+            per_iter * args.n_epochs * (F + 16),
+        ),
+        "update_lax": (
+            per_iter * args.n_epochs * 3 * fwd,
+            per_iter * args.n_epochs * (F * 4 + A + 16 + 4 * 4) * 2,
+        ),
+        # GAE recurrence: ~5 flops/transition over 4 f32 arrays r+w
+        "gae": (per_iter * 5, per_iter * 4 * 4 * 2),
+        "perm_gather": (0.0, per_iter * (args.n_epochs * (F + 16) + 3 * 12)),
+        "train_step": (
+            per_iter * (fwd + opp + args.n_epochs * 3 * fwd),
+            per_iter * (3 * L * 4 + args.n_epochs * (F + 16)),
+        ),
+    }
+    stage_models["superstep_per_iter"] = stage_models["train_step"]
+    roofline_rows = []
+
     def record(name: str, seconds: float, denom: int = per_iter) -> None:
         report[name] = seconds
-        print(
-            json.dumps(
-                {
-                    "stage": name,
-                    "ms": round(seconds * 1e3, 3),
-                    "transitions_per_s": round(denom / seconds),
-                }
-            ),
-            flush=True,
-        )
+        out = {
+            "stage": name,
+            "ms": round(seconds * 1e3, 3),
+            "transitions_per_s": round(denom / seconds),
+        }
+        if name in stage_models:
+            fl, by = stage_models[name]  # per-iteration totals
+            row = roofline.stage(name, seconds, denom, fl, by)
+            roofline_rows.append(row)
+            out |= {k: row[k] for k in (
+                "achieved_tflops", "pct_peak_flops", "achieved_gbps",
+                "pct_peak_hbm", "bound",
+            )}
+        print(json.dumps(out), flush=True)
 
     # --- null dispatch: the tunnel/dispatch round-trip constant -----------
     # every per-stage figure below includes one of these; subtract it for
@@ -196,6 +245,17 @@ def main() -> None:
                     "sustained_transitions_per_s": round(
                         per_iter / (report["superstep_per_iter"])
                     ),
+                    "model_flops_per_transition": round(
+                        stage_models["train_step"][0] / per_iter
+                    ),
+                    "sustained_mfu_pct": round(
+                        100.0
+                        * stage_models["train_step"][0]
+                        / report["superstep_per_iter"]
+                        / roofline.PEAK_FLOPS_BF16,
+                        3,
+                    ),
+                    "roofline": roofline_rows,
                 }
             }
         ),

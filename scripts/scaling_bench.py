@@ -208,6 +208,7 @@ def bench_devices(n_devices: int, args) -> dict:
         "transitions_per_s": per_iter * args.iters / dt,
         "iter_ms": dt / args.iters * 1e3,
         "hlo_collective_ops": collectives,  # static census: ops inside lax.scan bodies count once
+        "n_params": int(sum(x.size for x in jax.tree.leaves(state.params))),
         "host_cpu_count": os.cpu_count(),
     }
     if not args.no_attribution:
@@ -215,6 +216,73 @@ def bench_devices(n_devices: int, args) -> dict:
             algo, cfg, algo.init_sharded_state(jax.random.key(1)), args, drain
         )
     return report
+
+
+def predict_multihost(report: dict, args) -> dict:
+    """Analytic 1 -> N-host efficiency prediction from measured parts.
+
+    Inputs: the measured single-device iteration time (pure compute — the
+    one-chip program runs zero collectives) and the per-iteration collective
+    traffic implied by the SPMD program: one gradient ``pmean`` per
+    minibatch step (the HLO census confirms all-reduce is the only
+    recurring collective), each moving the full parameter pytree.
+
+    Comms model (v5e, weak scaling — per-device batch fixed):
+      - hosts hold 8 chips; 1..N hosts form one ICI-connected slice
+        (v5e pods are ICI up to 256 chips), mesh (8, N) torus;
+      - ring all-reduce wire cost per chip: 2(D-1)/D * bytes at
+        ICI_BW = 45 GB/s per link direction; XLA reduces hierarchically
+        over the two torus axes, so hop latency ~ 2*(8-1) + 2*(N-1) steps
+        at ~1 us each;
+      - collectives are serialized with compute (no overlap credit) —
+        a conservative floor.
+
+    predicted_efficiency(N) = t_compute / (t_compute + t_comm(8N)).
+    """
+    ICI_BW = 45e9  # bytes/s per link direction (v5e)
+    HOP_US = 1.0
+    CHIPS_PER_HOST = 8
+
+    grad_bytes = report["n_params"] * 4
+    grad_steps = args.n_epochs * (
+        args.n_steps * args.envs_per_device // args.minibatch_size
+    )
+    t_compute = report["iter_ms"] / 1e3
+
+    rows = []
+    for hosts in (1, 2, 4):
+        d = hosts * CHIPS_PER_HOST
+        wire = 2 * (d - 1) / d * grad_bytes / ICI_BW
+        hops = 2 * (CHIPS_PER_HOST - 1) + 2 * (hosts - 1)
+        t_ar = wire + hops * HOP_US * 1e-6
+        t_comm = grad_steps * t_ar
+        eff = t_compute / (t_compute + t_comm)
+        rows.append(
+            {
+                "hosts": hosts,
+                "chips": d,
+                "allreduce_us_each": round(t_ar * 1e6, 2),
+                "comm_ms_per_iter": round(t_comm * 1e3, 3),
+                "predicted_efficiency": round(eff, 4),
+            }
+        )
+    return {
+        "predicted_scaling": {
+            "model": {
+                "basis_iter_ms": report["iter_ms"],
+                "basis_platform": report["platform"],
+                "grad_bytes_per_allreduce": grad_bytes,
+                "grad_allreduces_per_iter": grad_steps,
+                "ici_bw_bytes_per_s": ICI_BW,
+                "hop_latency_us": HOP_US,
+                "assumptions": "weak scaling, serial collectives (no "
+                "overlap credit), hierarchical ring all-reduce over an "
+                "(8, hosts) ICI torus",
+            },
+            "hosts": rows,
+            "meets_80pct_at_4_hosts": rows[-1]["predicted_efficiency"] >= 0.8,
+        }
+    }
 
 
 def main() -> None:
@@ -232,6 +300,12 @@ def main() -> None:
     ap.add_argument(
         "--no-attribution", action="store_true",
         help="skip the per-stage timing breakdown (faster; counts only)",
+    )
+    ap.add_argument(
+        "--predict", action="store_true",
+        help="print the analytic 1->4-host efficiency prediction from the "
+        "measured single-device iteration + the program's collective "
+        "traffic (the quantitative stand-in while only one chip exists)",
     )
     args = ap.parse_args()
 
@@ -266,6 +340,12 @@ def main() -> None:
         ):
             r["efficiency_baseline"] = True
         print(json.dumps(r))
+    if args.predict:
+        # basis = the smallest-mesh row (on the real chip when available):
+        # its iteration is collective-free compute
+        basis = min(results, key=lambda r: (r["platform"] == "cpu", r["devices"]))
+        print(json.dumps(predict_multihost(basis, args)))
+
     if any(r["platform"] == "cpu" for r in results):
         print(
             json.dumps(

@@ -103,3 +103,29 @@ def test_fused_random_rollout_invariants():
     # no game may contain a winning connection (they reset immediately)
     for seat in range(2):
         assert not np.asarray(labels_ops.seat_wins(topo, out.labels, seat)).any()
+
+
+def test_make_ops_dispatch_and_semantics():
+    """The composable public bundle (core.env.make_ops): auto resolves to
+    lax off-TPU and reproduces the raw primitives exactly; bad impl raises."""
+    import pytest
+
+    topo = get_topology(5)
+    ops = hex_env.make_ops(topo, impl="auto")
+    st = ops.initial_state(4)
+    st2, rew = ops.step(st, jnp.array([0, 5, 10, 24]))
+    ref2, ref_rew = hex_env.step(topo, hex_env.initial_state(topo, 4),
+                                 jnp.array([0, 5, 10, 24]))
+    for a, b in zip(jax.tree.leaves(st2), jax.tree.leaves(ref2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(rew), np.asarray(ref_rew))
+    np.testing.assert_array_equal(
+        np.asarray(ops.legal_mask(st2)), np.asarray(hex_env.legal_mask(topo, st2))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ops.observe(st2)), np.asarray(hex_env.observe(topo, st2))
+    )
+    st3 = ops.reset_where(st2, jnp.array([True, False, False, False]))
+    assert int(st3.move_count[0]) == 0 and int(st3.move_count[1]) == 1
+    with pytest.raises(ValueError, match="impl"):
+        hex_env.make_ops(topo, impl="bogus")
