@@ -1,10 +1,12 @@
-"""Summarize the strict-protocol seed sweep into a markdown table.
+"""Summarize a strict-protocol seed sweep into a markdown table.
 
-Reads ``log/strict_sweep_results.jsonl`` (written by
-``scripts/strict_seed_sweep.sh``) plus each run's ``metrics.jsonl`` and
-prints per-board winrate mean ± spread at matched budget vs the reference
-artifact, per-seat win splits (the protocol's seat-specialization
-signature), and the final pool curriculum stats.
+Round-3 format (``log/strict_sweep_results.jsonl``, one match per seed) and
+round-4 format (``log/strict_sweep_r4.jsonl``, TWO matches per seed:
+``which: final`` = agent_final and ``which: best`` = the promoted
+best-model snapshot, the reference protocol's own deliverable) are both
+understood; rows group by (board, which).
+
+    python scripts/strict_sweep_report.py [log/strict_sweep_r4.jsonl]
 """
 
 from __future__ import annotations
@@ -19,20 +21,25 @@ LOG = pathlib.Path("log")
 
 
 def main() -> None:
+    path = pathlib.Path(
+        sys.argv[1] if len(sys.argv) > 1 else LOG / "strict_sweep_results.jsonl"
+    )
     rows = [
         json.loads(line)
-        for line in (LOG / "strict_sweep_results.jsonl").read_text().splitlines()
+        for line in path.read_text().splitlines()
         if line.strip()
     ]
-    by_board: dict = {}
+    groups: dict = {}
     for r in rows:
-        by_board.setdefault(r["board"], []).append(r)
+        key = (r["board"], r.get("which", "final"))
+        groups.setdefault(key, []).append(r)
 
-    print("| board | budget | ref artifact | winrate per seed | mean | "
+    print("| board | which | budget | ref artifact | winrate per seed | mean | "
           "seat0/seat1 wins (per seed) | final best_score |")
-    print("|---|---|---|---|---|---|---|")
-    for board in sorted(by_board):
-        rs = sorted(by_board[board], key=lambda r: r["seed"])
+    print("|---|---|---|---|---|---|---|---|")
+    for board, which in sorted(groups):
+        rs = groups[(board, which)]
+        rs.sort(key=lambda r: r.get("seed", r["run"]))
         wr = [r["match"]["a_winrate"] for r in rs]
         seats = [
             f'{r["match"]["a_wins_as_seat0"]}/{r["match"]["a_wins_as_seat1"]}'
@@ -47,8 +54,10 @@ def main() -> None:
                     d = json.loads(line)
                     b = d.get("eval/best_score", b)
             best.append(f"{b:.2f}" if b is not None else "?")
+        total = rs[0].get("total")
+        budget = f"{total:,}" if total else "—"
         print(
-            f'| {board}x{board} | {rs[0]["total"]:,} | {rs[0]["ref"]} | '
+            f'| {board}x{board} | {which} | {budget} | {rs[0]["ref"]} | '
             f'{", ".join(f"{w:.1%}" for w in wr)} | '
             f'{sum(wr) / len(wr):.1%} | {", ".join(seats)} | {", ".join(best)} |'
         )
