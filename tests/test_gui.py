@@ -213,12 +213,18 @@ def test_selfplay_wrapper_gui_restart_and_undo(monkeypatch):
 
 
 def _patch_has_text(gui, y, x) -> bool:
-    """True when the text color appears near cell (y, x)'s center."""
+    """True when the text color appears near cell (y, x)'s center.
+
+    Antialiased glyphs (the bundled DejaVu font) blend most pixels toward
+    the background, so sample every pixel and accept near-text colors
+    rather than exact even-offset hits.
+    """
     cx, cy = gui.get_center(y + 1, x + 1)
     text = gui.colors["text"]
-    for dy in range(-8, 9, 2):
-        for dx in range(-8, 9, 2):
-            if gui.screen.get_at((int(cx) + dx, int(cy) + dy))[:3] == text:
+    for dy in range(-10, 11):
+        for dx in range(-10, 11):
+            px = gui.screen.get_at((int(cx) + dx, int(cy) + dy))[:3]
+            if sum(abs(a - b) for a, b in zip(px, text)) < 90:
                 return True
     return False
 
