@@ -46,6 +46,25 @@ def mlp_forward_flops(
     return fl
 
 
+def cnn_forward_flops(
+    n_cells: int, filters: int = 64, features_dim: int = 128,
+    tower_width: int = 128, tower_layers: int = 2, n_actions: int = 0,
+    towers: int = 2,
+) -> float:
+    """One row through the CnnPolicy forward (models/cnn.py): 5 SAME 3x3
+    convs (1->f, then 4x f->f), flatten->features dense, two [128,128]
+    towers + heads.  2 FLOPs per MAC; BN/ReLU not counted (VPU)."""
+    A = n_actions or n_cells
+    fl = 2.0 * 9 * 1 * filters * n_cells  # conv_in
+    fl += 4 * 2.0 * 9 * filters * filters * n_cells  # four f->f convs
+    fl += 2.0 * (n_cells * filters) * features_dim  # features dense
+    per_tower = 2.0 * features_dim * tower_width
+    per_tower += 2.0 * (tower_layers - 1) * tower_width * tower_width
+    fl += towers * per_tower
+    fl += 2.0 * tower_width * A + 2.0 * tower_width * 1  # heads
+    return fl
+
+
 def policy_tower_flops(n_cells: int, hidden: int, n_layers: int, n_actions: int) -> float:
     """One row through the pi tower + action head only (opponent passes)."""
     fl = 2.0 * n_cells * hidden

@@ -51,6 +51,8 @@ def main() -> None:
     p.add_argument("--n-epochs", type=int, default=10)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--superstep", type=int, default=8)
+    p.add_argument("--policy", default="MLP-default",
+                   help="policy family (MLP-default/MLP-deep/MLP-wide-deep/CNN)")
     p.add_argument("--policy-impl", default="auto")
     p.add_argument("--update-impl", default="auto")
     p.add_argument("--rollout-impl", default="auto")
@@ -72,6 +74,7 @@ def main() -> None:
             board_size=args.board_size,
             n_envs=args.n_envs,
             buffer_size=args.buffer_size,
+            policy=args.policy,
             policy_impl=args.policy_impl,
             rollout_impl=args.rollout_impl,
             eval_freq=10**9,
@@ -94,8 +97,12 @@ def main() -> None:
     NL = len(algo.model.pi_layers)
     P1 = args.buffer_size + 1
     L = 128
-    fwd = roofline.mlp_forward_flops(F, H, NL, A)
-    opp = P1 * roofline.policy_tower_flops(F, H, NL, A)
+    if args.policy == "CNN":
+        fwd = roofline.cnn_forward_flops(F, n_actions=A)
+        opp = P1 * fwd  # grouped bank pass runs the full extractor per member
+    else:
+        fwd = roofline.mlp_forward_flops(F, H, NL, A)
+        opp = P1 * roofline.policy_tower_flops(F, H, NL, A)
     stage_models = {
         # per-transition: one agent fwd + one dense bank pass (opponent
         # reply); bytes: the kernel's three (B, L) f32 output streams per
