@@ -108,3 +108,47 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     # restored state must be steppable
     restored, _ = jax.jit(algo.train_step)(restored)
     assert algo.timesteps(restored) == 32
+
+
+def test_roofline_stage_math():
+    """Roofline rows: achieved rates derive from flops/bytes/seconds, the
+    binding resource follows the larger peak fraction, zero-FLOP stages
+    report honestly."""
+    from hex_gym_env_tpu.utils import roofline
+
+    # 1 TFLOP in 10 ms -> 100 TFLOP/s ~ half of bf16 peak -> compute-bound
+    row = roofline.stage("x", 0.01, 1000, 1e12, 1e6)
+    assert row["achieved_tflops"] == 100.0
+    assert row["bound"] == "compute"
+    # 8.19 GB in 10 ms -> 100% of HBM peak
+    row = roofline.stage("y", 0.01, 1000, 0.0, 8.19e9)
+    assert row["pct_peak_hbm"] == 100.0 and row["bound"] == "hbm"
+    # tiny everything -> latency/VPU
+    row = roofline.stage("z", 0.01, 1000, 1e6, 1e3)
+    assert row["bound"] == "latency/VPU"
+    # MLP forward flops: 6x6 default towers = packed GEMM widths
+    fl = roofline.mlp_forward_flops(36, 64, 2, 36)
+    assert fl == 2 * (36 * 128) + 2 * 128 * 128 + 2 * 128 * 37
+
+
+def test_scaling_prediction_model():
+    """The 1->4-host efficiency prediction is monotone in hosts, uses the
+    measured iteration as pure compute, and meets the 80% target for the
+    reference-scale gradient sizes."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_bench", pathlib.Path("scripts/scaling_bench.py")
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+
+    class A:  # the argparse shape predict_multihost reads
+        n_epochs, n_steps, envs_per_device, minibatch_size = 10, 64, 256, 2048
+
+    report = {"iter_ms": 20.0, "platform": "tpu", "n_params": 32000}
+    out = sb.predict_multihost(report, A)["predicted_scaling"]
+    effs = [r["predicted_efficiency"] for r in out["hosts"]]
+    assert effs == sorted(effs, reverse=True)  # more hosts, more comm
+    assert out["meets_80pct_at_4_hosts"] is True
+    assert out["model"]["grad_allreduces_per_iter"] == 80
