@@ -140,16 +140,18 @@ def main() -> None:
     from hex_gym_env_tpu.utils import roofline
 
     state_bytes = sum(x.nbytes for x in jax.tree.leaves(hex_env.initial_state(topo, BATCH)))
-    bytes_per_step = 2 * state_bytes + 3 * BATCH * topo.num_cells * 4
+    # one composable iteration advances ALL of BATCH games by one step, so
+    # bytes per reported env-step = per-iteration traffic / BATCH
+    bytes_per_env_step = (2 * state_bytes + 3 * BATCH * topo.num_cells * 4) / BATCH
     record["roofline"] = {
         "flops_per_s": 0.0,
         "note": "env stepping has no GEMMs; HBM is the roofline axis",
-        "composable_bytes_per_step_model": bytes_per_step,
+        "composable_bytes_per_env_step_model": round(bytes_per_env_step, 1),
         "api_pct_peak_hbm": round(
-            100.0 * bytes_per_step * api_rate / roofline.PEAK_HBM_BPS, 2
+            100.0 * bytes_per_env_step * api_rate / roofline.PEAK_HBM_BPS, 2
         ) if api_rate else None,
         "lax_pct_peak_hbm": round(
-            100.0 * bytes_per_step * lax_rate / roofline.PEAK_HBM_BPS, 2
+            100.0 * bytes_per_env_step * lax_rate / roofline.PEAK_HBM_BPS, 2
         ),
         "pallas_kernel": "state VMEM-resident; not HBM-bound by design",
     }

@@ -118,23 +118,24 @@ def _unpack_params(packed: list, like: dict, n_layers: int, H: int, A: int) -> d
 
 def _make_kernel(
     cfg: PPOConfig, n_layers: int, H: int, A: int, activation: str, mb: int,
-    fast: bool = False,
 ):
     """Kernel body over packed tensors.  Ref layout (inputs then outputs):
-    [t0, obs, act, lpold, adv, ret,
+    [order (scalar-prefetch), t0 (scalar-prefetch), obs, flt,
      in_p(2*(L+1)), in_m(...), in_v(...),
      out_p(...), out_m(...), out_v(...), stats].
 
-    ``fast=True`` is the ``update_impl='pallas-fast'`` layout: the grid is
-    driven by two scalar-prefetch arrays (the per-epoch minibatch-block
-    order and t0), and the per-row scalars arrive as ONE pre-shuffled
-    (mb, 4) float stream ``[action, logp_old, adv, ret]`` (the action is
-    exact in f32 — A <= 2^24).
+    Both sweep variants drive the same kernel: the grid follows the
+    scalar-prefetched minibatch-block ``order`` (the identity for the
+    exact-SB3-stream path, whose blocks are pre-gathered in grid order; a
+    per-epoch random block visit order for ``pallas-fast``), and the
+    per-row scalars arrive as ONE (mb, 4) float stream
+    ``[action, logp_old, adv, ret]`` (the action is exact in f32 —
+    A <= 2^24).
 
     The legal mask is derived in-kernel as ``obs == 0``: selfplay batches
     are mover-frame boards whose legal actions are exactly the empty cells
-    (``HexSingleGame.py:205-206``), so streaming a separate legal plane
-    from HBM (and gathering it per minibatch) would be pure waste."""
+    (``HexSingleGame.py:205-206``; the ``PPOBatch.legal`` invariant), so
+    streaming a separate legal plane from HBM would be pure waste."""
     n_t = 2 * (n_layers + 1)  # packed tensors per tree (W+b per layer + head)
     b1, b2 = 0.9, 0.999
     lr = cfg.learning_rate
@@ -162,12 +163,8 @@ def _make_kernel(
         return (((r < H) & (c < A)) | ((r >= H) & (c >= A))).astype(jnp.float32)
 
     def kernel(*refs):
-        if fast:
-            (order_ref, t0_ref, obs_ref, flt_ref) = refs[:4]
-            rest = list(refs[4:])
-        else:
-            (t0_ref, obs_ref, act_ref, lpold_ref, adv_ref, ret_ref) = refs[:6]
-            rest = list(refs[6:])
+        (order_ref, t0_ref, obs_ref, flt_ref) = refs[:4]
+        rest = list(refs[4:])
         in_p = rest[0 * n_t : 1 * n_t]
         in_m = rest[1 * n_t : 2 * n_t]
         in_v = rest[2 * n_t : 3 * n_t]
@@ -185,17 +182,11 @@ def _make_kernel(
 
         x = obs_ref[0].astype(jnp.float32)  # (mb, F)
         legal = (x == 0.0).astype(jnp.float32)  # (mb, A) — empty cells
-        if fast:
-            flt = flt_ref[0]  # (mb, 4) [action, logp_old, adv, ret]
-            a_col = flt[:, 0:1].astype(jnp.int32)
-            lp_old = flt[:, 1:2]
-            adv_raw = flt[:, 2:3]
-            ret = flt[:, 3:4]
-        else:
-            a_col = act_ref[0]  # (mb, 1) int32
-            lp_old = lpold_ref[0]  # (mb, 1)
-            adv_raw = adv_ref[0]  # (mb, 1)
-            ret = ret_ref[0]  # (mb, 1)
+        flt = flt_ref[0]  # (mb, 4) [action, logp_old, adv, ret]
+        a_col = flt[:, 0:1].astype(jnp.int32)
+        lp_old = flt[:, 1:2]
+        adv_raw = flt[:, 2:3]
+        ret = flt[:, 3:4]
 
         P = [r[:] for r in out_p]
 
@@ -315,7 +306,7 @@ def _make_kernel(
         # ---- Adam (optax scale_by_adam + scale(-lr)) ----
         # b**t as exp(t*ln b): Mosaic has no powf lowering; fp32-identical
         # for these decay constants at any realistic step count
-        t0 = t0_ref[0] if fast else t0_ref[0, 0]
+        t0 = t0_ref[0]
         t = (t0 + step + 1).astype(jnp.float32)
         bc1 = 1.0 - jnp.exp(t * ln_b1)
         bc2 = 1.0 - jnp.exp(t * ln_b2)
@@ -388,13 +379,22 @@ def make_pallas_update_fn(model, cfg: PPOConfig, interpret: bool = False):
         perms = ppo.epoch_permutations(key, n, cfg.n_epochs)
         idx = perms[:, : n_mb * mbs].reshape(G, mbs)
 
-        # int8 boards keep the big gather and the HBM stream 4x lean; the
-        # legal mask is derived in-kernel from the board (see _make_kernel)
+        # TWO gathers total: the int8 board stream and ONE packed (n, 4)
+        # float stream [action, logp_old, adv, ret] (the action is exact in
+        # f32 — A <= 2^24).  Five separate per-column gathers measured ~16 ms
+        # of pure gather time at the headline shape; packing first makes the
+        # row gather one op.  The legal mask is derived in-kernel from the
+        # board (see _make_kernel), so it is never gathered at all.
         obs = batch.obs.reshape(n, -1).astype(jnp.int8)[idx]  # (G, mb, F)
-        act = batch.action.astype(jnp.int32)[idx][..., None]  # (G, mb, 1)
-        lpold = batch.log_prob_old[idx][..., None]
-        adv = batch.advantage[idx][..., None]
-        ret = batch.ret[idx][..., None]
+        flt = jnp.stack(
+            [
+                batch.action.astype(jnp.float32),
+                batch.log_prob_old,
+                batch.advantage,
+                batch.ret,
+            ],
+            axis=1,
+        )[idx]  # (G, mb, 4)
 
         clip_state, (adam_state, lr_state) = opt_state
         count0 = adam_state.count
@@ -408,27 +408,26 @@ def make_pallas_update_fn(model, cfg: PPOConfig, interpret: bool = False):
 
         def const_spec(x):
             return pl.BlockSpec(
-                x.shape, lambda i: (0,) * x.ndim, memory_space=pltpu.VMEM
+                x.shape, lambda i, *_: (0,) * x.ndim, memory_space=pltpu.VMEM
             )
 
         def stream_spec(last):
+            # pre-gathered grid-order streams: block i is minibatch i (the
+            # prefetched order is the identity; same kernel as pallas-fast)
             return pl.BlockSpec(
-                (1, mbs, last), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, mbs, last),
+                lambda i, order, t0: (order[i], 0, 0),
+                memory_space=pltpu.VMEM,
             )
 
         tensor_specs = [const_spec(x) for x in p_flat]
-        in_specs = (
-            [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
-            + [
-                stream_spec(F), stream_spec(1),
-                stream_spec(1), stream_spec(1), stream_spec(1),
-            ]
-            + tensor_specs * 3
-        )
+        in_specs = [stream_spec(F), stream_spec(4)] + tensor_specs * 3
         # stats block is (1, 1, N_STATS): the last two dims must equal the
         # array dims (Pallas TPU lowering constraint), so the grid axis leads
         out_specs = tensor_specs * 3 + [
-            pl.BlockSpec((1, 1, N_STATS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, 1, N_STATS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ]
         tensor_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in p_flat]
         out_shape = tensor_shapes * 3 + [
@@ -436,16 +435,26 @@ def make_pallas_update_fn(model, cfg: PPOConfig, interpret: bool = False):
         ]
 
         kernel, _ = _make_kernel(cfg, n_layers, H, A, activation, mbs)
-        t0 = count0.reshape(1, 1).astype(jnp.int32)
-
-        results = pl.pallas_call(
-            kernel,
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=(G,),
             in_specs=in_specs,
             out_specs=out_specs,
+        )
+        results = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(t0, obs, act, lpold, adv, ret, *p_flat, *m_flat, *v_flat)
+        )(
+            jnp.arange(G, dtype=jnp.int32),
+            count0.reshape(1).astype(jnp.int32),
+            obs,
+            flt,
+            *p_flat,
+            *m_flat,
+            *v_flat,
+        )
 
         new_p = results[0 * n_t : 1 * n_t]
         new_m = results[1 * n_t : 2 * n_t]
@@ -585,7 +594,7 @@ def make_pallas_fast_update_fn(model, cfg: PPOConfig, interpret: bool = False):
             jax.ShapeDtypeStruct((G, 1, N_STATS), jnp.float32)
         ]
 
-        kernel, _ = _make_kernel(cfg, n_layers, H, A, activation, mbs, fast=True)
+        kernel, _ = _make_kernel(cfg, n_layers, H, A, activation, mbs)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(G,),

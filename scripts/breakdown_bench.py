@@ -56,6 +56,9 @@ def main() -> None:
     p.add_argument("--policy-impl", default="auto")
     p.add_argument("--update-impl", default="auto")
     p.add_argument("--rollout-impl", default="auto")
+    p.add_argument("--bank-bf16", action="store_true",
+                   help="bf16 opponent-bank forwards (the rollout_bank_bf16 "
+                        "deviation; halves bank weight/activation traffic)")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (the axon plugin ignores JAX_PLATFORMS)")
     args = p.parse_args()
@@ -77,6 +80,7 @@ def main() -> None:
             policy=args.policy,
             policy_impl=args.policy_impl,
             rollout_impl=args.rollout_impl,
+            rollout_bank_bf16=args.bank_bf16,
             eval_freq=10**9,
         ),
     )
@@ -215,16 +219,16 @@ def main() -> None:
 
     @jax.jit
     def prologue(b: ppo.PPOBatch, key):
+        # mirrors make_pallas_update_fn's prologue: one batched 2-key sort
+        # for every epoch's permutation + exactly TWO row gathers (int8
+        # boards, packed (n, 4) float scalars); legal is derived in-kernel
         perms = ppo.epoch_permutations(key, n, cfg.ppo.n_epochs)
         idx = perms[:, : n_mb * mbs].reshape(G, mbs)
-        return (
-            b.obs.reshape(n, -1).astype(jnp.int8)[idx],
-            b.legal.astype(jnp.int8)[idx],
-            b.action.astype(jnp.int32)[idx][..., None],
-            b.log_prob_old[idx][..., None],
-            b.advantage[idx][..., None],
-            b.ret[idx][..., None],
+        flt = jnp.stack(
+            [b.action.astype(jnp.float32), b.log_prob_old, b.advantage, b.ret],
+            axis=1,
         )
+        return b.obs.reshape(n, -1).astype(jnp.int8)[idx], flt[idx]
 
     t = time_fn(prologue, batch, jax.random.key(2), repeats=args.repeats)
     record("perm_gather", t["seconds_per_call"])
