@@ -96,6 +96,13 @@ def test_trajectory_parity_large_board():
     rollout_pair(11, n_games=4, seed=7)
 
 
+def test_trajectory_parity_beyond_reference_grid():
+    """13x13 exceeds the reference's largest exercised board (11x11) and
+    the fused kernels' 128-lane packing (they gate to the scan/lax path);
+    the lax core must stay golden-exact on the 256-lane layout."""
+    rollout_pair(13, n_games=3, seed=13)
+
+
 @pytest.mark.parametrize("board_size", [5, 7])
 def test_invalid_move_parity(board_size):
     rollout_pair(board_size, n_games=12, seed=board_size, invalid_prob=0.15)
