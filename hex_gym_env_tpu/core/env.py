@@ -239,23 +239,32 @@ def make_ops(topo: HexTopology, impl: str = "auto") -> EnvOps:
 
     ``impl="auto"`` resolves ``step`` to the fused Pallas kernel
     (``ops/pallas_step.step`` — one launch per call, bit-identical
-    semantics) on TPU for boards that fit the 128-lane layout, else the
-    pure-lax ``step``; ``"lax"``/``"pallas"`` pin.  The lax ``step`` costs
-    a couple dozen XLA micro-kernels per call, which dominates the
-    composable path at high step rates (VERDICT r3 weakness 4).
+    semantics) on TPU, else the pure-lax ``step``; ``"lax"``/``"pallas"``
+    pin.  ``resolve_step_impl`` below is the ONE dispatch rule — the
+    training rollout re-exports it, so the composable API and the
+    training path never disagree.  The kernel is lane-generic (verified
+    bitwise vs the lax step at the 256-lane 13x13 layout on hardware).
+    The lax ``step`` costs a couple dozen XLA micro-kernels per call,
+    which dominates the composable path at high step rates (VERDICT r3
+    weakness 4).
     """
-    if impl not in ("auto", "lax", "pallas"):
-        raise ValueError(f"impl must be 'auto'/'lax'/'pallas', got {impl!r}")
-    use_pallas = impl == "pallas" or (
-        impl == "auto"
-        and jax.default_backend() == "tpu"
-        and topo.lanes <= 128
-    )
-    if use_pallas:
-        from hex_gym_env_tpu.ops import pallas_step
+    return EnvOps(topo, resolve_step_impl(impl))
 
-        return EnvOps(topo, pallas_step.step)
-    return EnvOps(topo, step)
+
+def resolve_step_impl(impl: str):
+    """The canonical env-step backend dispatch: the fused Pallas kernel
+    (``ops/pallas_step.step``) on TPU under "auto", the lax ``step``
+    elsewhere; "lax"/"pallas" pin.  Semantics are bit-identical
+    (``tests/test_pallas_step.py`` + the hardware selftest)."""
+    if impl not in ("auto", "lax", "pallas"):
+        raise ValueError(
+            f"env_step_impl must be one of 'auto'/'lax'/'pallas', got {impl!r}"
+        )
+    if impl == "lax" or (impl == "auto" and jax.default_backend() != "tpu"):
+        return step
+    from hex_gym_env_tpu.ops import pallas_step
+
+    return pallas_step.step
 
 
 def reset_where(

@@ -39,24 +39,11 @@ from hex_gym_env_tpu.train.bank import OpponentBank, sample_opponents
 from hex_gym_env_tpu.utils.config import SelfplayConfig
 
 
-def resolve_step_impl(impl: str):
-    """Pick the env-step backend for in-scan stepping.
-
-    The fused Pallas kernel (``ops/pallas_step.py``) collapses the couple
-    dozen XLA micro-kernels of one lax env step into one launch — inside a
-    T-step rollout scan with 3 env steps per body that is the difference
-    between ~100 and ~3 kernel launches per transition.  Semantics are
-    bit-identical (asserted on hardware by ``tests/test_pallas_step.py``).
-    """
-    if impl not in ("auto", "lax", "pallas"):
-        raise ValueError(
-            f"env_step_impl must be one of 'auto'/'lax'/'pallas', got {impl!r}"
-        )
-    if impl == "lax" or (impl == "auto" and jax.default_backend() != "tpu"):
-        return hex_env.step
-    from hex_gym_env_tpu.ops import pallas_step
-
-    return pallas_step.step
+# the ONE dispatch rule for the env-step backend, shared with the
+# composable public API (core.env.make_ops) so the two never disagree.
+# Inside a T-step rollout scan with 3 env steps per body, the fused kernel
+# is the difference between ~100 and ~3 kernel launches per transition.
+resolve_step_impl = hex_env.resolve_step_impl
 
 
 class Transition(NamedTuple):

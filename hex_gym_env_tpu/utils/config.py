@@ -91,12 +91,13 @@ class SelfplayConfig:
     # distributions are identical; the PRNG stream differs from lax (same
     # caveat as policy_impl).
     rollout_impl: str = "auto"  # "auto" | "scan" | "fused"
-    # Opt-in: run the fused rollout's opponent-bank matmuls in bfloat16
-    # (weights + matmul LHS; f32 accumulation).  4x MXU rate and half the
-    # bank VMEM; opponent logits shift by ~1e-2 relative, a documented
+    # Opt-in: run opponent-bank forwards in bfloat16 (weights + matmul
+    # LHS; f32 accumulation) — the fused MLP rollout kernel's bank
+    # matmuls AND the scan path's CNN grouped-bank forward honor it.
+    # Opponent logits shift by ~1e-2 relative, a documented
     # distributional deviation of the (stochastic) opponent play only —
-    # agent forward, value, and log-prob stay exact f32.  Ignored by the
-    # scan path; strict presets pin the scan path anyway.
+    # agent forward, value, and log-prob stay exact f32.  The MLP scan
+    # path ignores it; strict presets pin the scan path and f32.
     rollout_bank_bf16: bool = False
     eval_freq: int = 1000  # agent transitions between evals (per reference script)
     # eval episodes per eval pass; None -> buffer_size (what every reference

@@ -78,7 +78,7 @@ def stage(
     seconds: float,
     transitions: int,
     flops: float,
-    hbm_bytes: float,
+    hbm_bytes: Optional[float],
     note: Optional[str] = None,
 ) -> dict:
     """One roofline row: achieved rates, percent of peak, binding resource.
@@ -86,10 +86,28 @@ def stage(
     ``flops``/``hbm_bytes`` are totals for the measured call (use 0 when a
     stage genuinely has none — e.g. env stepping has no GEMMs; its "model
     FLOPs" ARE zero and the row will honestly report compute 0% of peak).
+    Pass ``hbm_bytes=None`` when no byte model exists for the backend that
+    actually ran (e.g. the scan/lax rollout or a CNN activation stream) —
+    the row then omits the HBM fields and classifies ``bound`` from the
+    FLOP side alone rather than reporting an under-counted stream model.
     """
     fps = flops / seconds
-    bps = hbm_bytes / seconds
     pct_flops = 100.0 * fps / PEAK_FLOPS_BF16
+    if hbm_bytes is None:
+        bound = "compute" if pct_flops >= 0.5 else "latency/VPU"
+        row = {
+            "stage": name,
+            "ms": round(seconds * 1e3, 3),
+            "flops_per_transition": round(flops / max(transitions, 1)),
+            "achieved_tflops": round(fps / 1e12, 3),
+            "pct_peak_flops": round(pct_flops, 2),
+            "hbm_model": "none for this backend",
+            "bound": bound,
+        }
+        if note:
+            row["note"] = note
+        return row
+    bps = hbm_bytes / seconds
     pct_hbm = 100.0 * bps / PEAK_HBM_BPS
     if pct_flops < 0.5 and pct_hbm < 0.5:
         bound = "latency/VPU"  # neither roofline wall is near: small-op bound

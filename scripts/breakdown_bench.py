@@ -95,29 +95,49 @@ def main() -> None:
     # lanes are not credited, so its pct_peak_flops is a slight UNDER-count.)
     from hex_gym_env_tpu.utils import roofline
 
+    from hex_gym_env_tpu.core.topology import get_topology
+
     N = args.board_size
     F = A = N * N
     H = algo.model.pi_layers[0]
     NL = len(algo.model.pi_layers)
     P1 = args.buffer_size + 1
-    L = 128
+    L = get_topology(N).lanes
     if args.policy == "CNN":
         fwd = roofline.cnn_forward_flops(F, n_actions=A)
         opp = P1 * fwd  # grouped bank pass runs the full extractor per member
     else:
         fwd = roofline.mlp_forward_flops(F, H, NL, A)
         opp = P1 * roofline.policy_tower_flops(F, H, NL, A)
+    # Byte models exist only for the backends they describe: the fused
+    # rollout kernel's output streams and the Pallas sweep's input streams.
+    # When the run resolves to the scan rollout or the lax sweep (CNN, CPU,
+    # pinned impls), pass None so the row omits HBM fields instead of
+    # reporting an under-counted stream model (r4 self-review finding).
+    fused_rollout = algo.runner.fused_pol is not None
+    from hex_gym_env_tpu.ops import pallas_ppo as _pppo
+
+    fused_update = (
+        jax.default_backend() == "tpu"
+        and cfg.ppo.update_impl in ("auto", "pallas", "pallas-fast")
+        and _pppo.supported_policy(algo.model, cfg.ppo)
+    )
+    roll_bytes = per_iter * 3 * L * 4 if fused_rollout else None
+    upd_bytes = per_iter * args.n_epochs * (F + 16) if fused_update else None
+    step_bytes = (
+        roll_bytes + upd_bytes
+        if (fused_rollout and fused_update)
+        else None
+    )
     stage_models = {
         # per-transition: one agent fwd + one dense bank pass (opponent
-        # reply); bytes: the kernel's three (B, L) f32 output streams per
+        # reply); fused-kernel bytes: three (B, L) f32 output streams per
         # step (state itself stays VMEM-resident)
-        "rollout": (per_iter * (fwd + opp), per_iter * 3 * L * 4),
+        "rollout": (per_iter * (fwd + opp), roll_bytes),
         # 10-epoch sweep: fwd+bwd ~ 3x fwd GEMM flops per sample visit;
-        # bytes: int8 obs stream + packed float scalars, read once
-        "update": (
-            per_iter * args.n_epochs * 3 * fwd,
-            per_iter * args.n_epochs * (F + 16),
-        ),
+        # Pallas-sweep bytes: int8 obs stream + packed float scalars
+        "update": (per_iter * args.n_epochs * 3 * fwd, upd_bytes),
+        # the lax sweep materializes gathered f32 obs + legal + scalars
         "update_lax": (
             per_iter * args.n_epochs * 3 * fwd,
             per_iter * args.n_epochs * (F * 4 + A + 16 + 4 * 4) * 2,
@@ -127,7 +147,7 @@ def main() -> None:
         "perm_gather": (0.0, per_iter * (args.n_epochs * (F + 16) + 3 * 12)),
         "train_step": (
             per_iter * (fwd + opp + args.n_epochs * 3 * fwd),
-            per_iter * (3 * L * 4 + args.n_epochs * (F + 16)),
+            step_bytes,
         ),
     }
     stage_models["superstep_per_iter"] = stage_models["train_step"]
@@ -144,10 +164,14 @@ def main() -> None:
             fl, by = stage_models[name]  # per-iteration totals
             row = roofline.stage(name, seconds, denom, fl, by)
             roofline_rows.append(row)
-            out |= {k: row[k] for k in (
-                "achieved_tflops", "pct_peak_flops", "achieved_gbps",
-                "pct_peak_hbm", "bound",
-            )}
+            out |= {
+                k: row[k]
+                for k in (
+                    "achieved_tflops", "pct_peak_flops", "achieved_gbps",
+                    "pct_peak_hbm", "hbm_model", "bound",
+                )
+                if k in row
+            }
         print(json.dumps(out), flush=True)
 
     # --- null dispatch: the tunnel/dispatch round-trip constant -----------

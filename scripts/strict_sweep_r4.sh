@@ -22,16 +22,16 @@ OUT=log/strict_sweep_r4.txt
 JSONL=log/strict_sweep_r4.jsonl
 echo "=== strict sweep r4 $(date -u +%FT%TZ) ===" >> "$OUT"
 
-match_one() {  # name board ref_spec which policy_spec
-  local name=$1 n=$2 ref=$3 which=$4 spec=$5
+match_one() {  # name board seed total ref_spec which policy_spec
+  local name=$1 n=$2 seed=$3 total=$4 ref=$5 which=$6 spec=$7
   echo "--- ${name} match(${which}) vs ${ref} ($(date -u +%T)) ---" >> "$OUT"
   local mres
   mres=$(timeout 1800 python scripts/match.py --board-size "$n" --games 1024 \
     --a "$spec" --b "sb3:/root/reference/models/$ref" 2>> "$OUT") \
     || { echo "MATCH FAILED ${name} ${which}" >> "$OUT"; return 1; }
   echo "$mres" >> "$OUT"
-  printf '{"run": "%s", "board": %s, "which": "%s", "ref": "%s", "match": %s}\n' \
-    "$name" "$n" "$which" "$ref" "$(echo "$mres" | tail -1)" >> "$JSONL"
+  printf '{"run": "%s", "board": %s, "seed": %s, "total": %s, "which": "%s", "ref": "%s", "match": %s}\n' \
+    "$name" "$n" "$seed" "$total" "$which" "$ref" "$(echo "$mres" | tail -1)" >> "$JSONL"
 }
 
 run_one() {  # board seed total ref_spec
@@ -47,12 +47,17 @@ run_one() {  # board seed total ref_spec
   timeout 900 python scripts/export_agent.py --cpu --experiment "${n}x${n}_strict_sb3" \
     --model-name "$name" --out "$agent" >> "$OUT" 2>&1 \
     || { echo "EXPORT FAILED ${name}" >> "$OUT"; return 1; }
-  match_one "$name" "$n" "$ref" final "orbax:$agent"
-  # best-model snapshot = highest-score best_* params dir the trainer saved
+  match_one "$name" "$n" "$seed" "$total" "$ref" final "orbax:$agent"
+  # best-model snapshot = highest-score best_* params dir the trainer
+  # saved; the score is everything after the LAST "best_" in the path
+  # (run names themselves contain underscores, so field-based sort keys
+  # would land on the wrong token)
   local best
-  best=$(ls -d "models/$name"/best_* 2>/dev/null | sort -t_ -k2 -g | tail -1)
-  if [ -n "${best:-}" ]; then
-    match_one "$name" "$n" "$ref" best "orbax:$best"
+  best=$(printf '%s\n' "models/$name"/best_* 2>/dev/null \
+    | awk -F'best_' 'NF > 1 {print $NF, $0}' | sort -g | tail -1 \
+    | cut -d' ' -f2-)
+  if [ -n "${best:-}" ] && [ -d "$best" ]; then
+    match_one "$name" "$n" "$seed" "$total" "$ref" best "orbax:$best"
   else
     echo "NO BEST SNAPSHOT ${name}" >> "$OUT"
   fi
