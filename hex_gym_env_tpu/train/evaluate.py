@@ -233,6 +233,19 @@ class Evaluator:
         k_play, k_slot = jax.random.split(key)
         rewards = self.play_vs_pool(params, bank, k_play, fixed_seats=fixed_seats)
         mean_reward = rewards.mean()
+        # Opt-in pool-freeze mitigation (default 0.0 = reference-exact):
+        # the reference's replacement rule self-terminates once pool scores
+        # saturate near the score formula's own ceiling — measured at the
+        # 71M budget every seed's pool froze by ~18M steps and the agent
+        # then degraded farming it (RESULTS.md r4b).  A small per-eval
+        # decay of the recorded scores keeps the replacement bar moving so
+        # the curriculum never freezes; strict presets leave it at 0.
+        decay = getattr(self.cfg, "pool_score_decay", 0.0)
+        if decay:
+            bank = bank.replace(
+                scores=bank.scores * (1.0 - decay),
+                best_score=bank.best_score * (1.0 - decay),
+            )
         score = mean_reward * jnp.exp(jnp.mean(bank.scores) - 1.0)
         do_replace = (mean_reward > 0) & (score > jnp.min(bank.scores))
         bank = replace_member(bank, k_slot, params, score, do_replace)

@@ -99,6 +99,14 @@ class SelfplayConfig:
     # agent forward, value, and log-prob stay exact f32.  The MLP scan
     # path ignores it; strict presets pin the scan path and f32.
     rollout_bank_bf16: bool = False
+    # Opt-in pool-freeze mitigation (0.0 = reference-exact protocol): decay
+    # every pool member's recorded score (and best_score) by this fraction
+    # per eval pass, so the replacement bar keeps moving.  The reference's
+    # rule self-terminates once scores saturate (measured: at 71M budgets
+    # every seed's pool froze by ~18M steps and the final agent degraded —
+    # RESULTS.md r4b).  A small value (e.g. 1e-3) keeps the curriculum
+    # churning; strict presets MUST leave it 0.
+    pool_score_decay: float = 0.0
     eval_freq: int = 1000  # agent transitions between evals (per reference script)
     # eval episodes per eval pass; None -> buffer_size (what every reference
     # experiment sets).  Values past buffer_size replay the last pool member

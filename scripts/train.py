@@ -57,6 +57,10 @@ def main() -> None:
                     help="rollout backend; fused runs ALL T steps in one "
                          "Pallas kernel (auto picks it on TPU when the "
                          "pallas policy path resolves)")
+    ap.add_argument("--pool-score-decay", type=float, default=None,
+                    help="decay pool scores by this fraction per eval pass "
+                         "(opt-in mitigation for the measured pool-freeze "
+                         "pathology; 0 = reference-exact rule)")
     ap.add_argument("--bank-bf16", action="store_true",
                     help="bf16 opponent-bank matmuls inside the fused "
                          "rollout (stochastic-opponent logits deviation)")
@@ -117,6 +121,8 @@ def main() -> None:
         overrides["rollout_impl"] = args.rollout_impl
     if args.bank_bf16:
         overrides["rollout_bank_bf16"] = True
+    if args.pool_score_decay is not None:
+        overrides["pool_score_decay"] = args.pool_score_decay
     if args.model_name is not None:
         overrides["model_name"] = args.model_name
     cfg = get_config(args.experiment, **overrides)

@@ -362,3 +362,44 @@ def test_epoch_permutations_are_uniform_permutations():
     assert np.array_equal(perms, again)
     other = np.asarray(ppo_mod.epoch_permutations(jax.random.key(4), n, E))
     assert not np.array_equal(perms, other)
+
+
+def test_pool_score_decay_mechanics():
+    """Opt-in mitigation for the r4b-measured pool freeze: with
+    ``pool_score_decay`` every recorded pool score (and best_score) shrinks
+    by the decay fraction each eval pass, so the replacement bar keeps
+    moving; at 0.0 the reference-exact rule applies and scores are
+    untouched.  (Whether a frozen pool actually unfreezes depends on the
+    agent's eval winrate — that dynamics claim is the r4b measurement,
+    RESULTS.md; this pins the mechanism.)"""
+    import dataclasses
+
+    base = _small_cfg()
+
+    def run_eval(decay):
+        cfg = dataclasses.replace(
+            base,
+            selfplay=dataclasses.replace(base.selfplay, pool_score_decay=decay),
+        )
+        algo = SelfplayPPO(cfg)
+        state = algo.init_state(jax.random.key(0))
+        bank = state.bank.replace(
+            scores=jnp.full_like(state.bank.scores, np.float32(0.9)),
+            best_score=jnp.asarray(np.float32(0.9)),
+        )
+        bank2, res = jax.jit(algo.evaluator.eval_and_update)(
+            state.params, bank, jax.random.key(1), state.carry.agent_seat
+        )
+        return np.asarray(bank2.scores), float(bank2.best_score), bool(res.replaced)
+
+    scores0, best0, rep0 = run_eval(0.0)
+    # reference-exact: non-replaced slots keep their recorded score
+    assert (np.isclose(scores0, 0.9) | rep0).sum() >= scores0.size - 1
+    untouched0 = np.isclose(scores0, 0.9).sum()
+    assert untouched0 >= scores0.size - 1
+
+    scores1, best1, rep1 = run_eval(0.25)
+    # decayed: every slot the replacement did not overwrite reads 0.675
+    assert np.isclose(scores1, 0.9 * 0.75).sum() >= scores1.size - 1
+    # best_score decays too unless the eval just re-promoted past it
+    assert best1 <= 0.9 * 0.75 + 1e-6 or rep1
