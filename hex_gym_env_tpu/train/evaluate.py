@@ -193,7 +193,9 @@ class Evaluator:
 
         state = hex_env.initial_state(topo, E)
         # opponent opens where it holds seat 0: served member's empty-board
-        # logits (one batched pass), masked draw, active-masked step
+        # logits (one batched pass; this path is MLP-only — CNN evals take
+        # the scan branch, whose opponent pass routes through the grouped
+        # stacked forward), masked draw, active-masked step
         empty_b = jnp.zeros((1, n, n), jnp.float32)
         members = jax.vmap(lambda v: self.model.apply(v, empty_b)[0][0])(bank.params)
         logits0 = members[serve]  # (E, A)
