@@ -234,7 +234,9 @@ class EnvOps:
         return reset_where(self.topo, state, mask, fresh)
 
 
-def make_ops(topo: HexTopology, impl: str = "auto") -> EnvOps:
+def make_ops(
+    topo: HexTopology, impl: str = "auto", interpret: bool = False
+) -> EnvOps:
     """Composable public env API with backend auto-dispatch.
 
     ``impl="auto"`` resolves ``step`` to the fused Pallas kernel
@@ -246,9 +248,15 @@ def make_ops(topo: HexTopology, impl: str = "auto") -> EnvOps:
     bitwise vs the lax step at the 256-lane 13x13 layout on hardware).
     The lax ``step`` costs a couple dozen XLA micro-kernels per call,
     which dominates the composable path at high step rates (VERDICT r3
-    weakness 4).
+    weakness 4).  ``interpret=True`` runs a pinned-Pallas step through the
+    Pallas interpreter (CPU tests of the kernel path); no effect on lax.
     """
-    return EnvOps(topo, resolve_step_impl(impl))
+    step_fn = resolve_step_impl(impl)
+    if interpret and step_fn is not step:
+        import functools
+
+        step_fn = functools.partial(step_fn, interpret=True)
+    return EnvOps(topo, step_fn)
 
 
 def resolve_step_impl(impl: str):

@@ -129,3 +129,21 @@ def test_make_ops_dispatch_and_semantics():
     assert int(st3.move_count[0]) == 0 and int(st3.move_count[1]) == 1
     with pytest.raises(ValueError, match="impl"):
         hex_env.make_ops(topo, impl="bogus")
+
+
+def test_make_ops_pallas_pin_interpret_matches_lax():
+    """make_ops(impl='pallas', interpret=True) exercises the kernel path on
+    CPU and must reproduce the lax bundle exactly."""
+    topo = get_topology(5)
+    lax_ops = hex_env.make_ops(topo, impl="lax")
+    pl_ops = hex_env.make_ops(topo, impl="pallas", interpret=True)
+    s1 = lax_ops.initial_state(4)
+    s2 = pl_ops.initial_state(4)
+    acts = [jnp.array([0, 7, 12, 24]), jnp.array([3, 3, 3, 3]),
+            jnp.array([8, 1, 0, 10])]
+    for a in acts:
+        s1, r1 = lax_ops.step(s1, a)
+        s2, r2 = pl_ops.step(s2, a)
+        for x, y in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
