@@ -23,7 +23,6 @@ for; at reference scales (pool <= 256, params ~12.5k) this is microseconds.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
