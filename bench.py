@@ -14,6 +14,13 @@ wins:
 3. the pure-lax composable path (``core.env`` primitives under
    ``lax.scan``).
 
+Timing methodology (round 5): each path is timed as ``--repeats``
+independent samples (default 5) of CALLS_PER_SAMPLE drained jitted calls;
+the headline ``value`` is the winning path's MEDIAN sample and the JSON
+carries per-path median/min/max — the fused kernel has measured 48-60M
+steps/s across rounds of the same binary (tunnel run-to-run variance,
+RESULTS.md), which a single sample hides.
+
 vs_baseline is against the driver north-star target of 10M env-steps/s on
 one host (BASELINE.md; the reference itself publishes no numbers — its code
 comments imply low-hundreds of games/s ≈ 1e4 steps/s on a laptop).
@@ -21,7 +28,9 @@ comments imply low-hundreds of games/s ≈ 1e4 steps/s on a laptop).
 Prints exactly one JSON line.
 """
 
+import argparse
 import json
+import statistics
 import time
 
 import jax
@@ -38,7 +47,8 @@ from hex_gym_env_tpu.ops import masked, pallas_step
 BOARD = 7
 BATCH = 8192
 STEPS_PER_CALL = 512
-REPEATS = 5
+CALLS_PER_SAMPLE = 5  # drained once per sample: amortizes the ~52 ms tunnel RTT
+DEFAULT_REPEATS = 5  # timed samples per path
 TARGET = 10_000_000.0
 
 
@@ -50,7 +60,27 @@ def drain(x) -> None:
     jax.device_get(jax.tree.leaves(x)[0].ravel()[:1])
 
 
-def bench_composable(topo, impl: str) -> float:
+def _sample_rates(run_call, state, repeats: int) -> list:
+    """``repeats`` timed samples; each = CALLS_PER_SAMPLE calls + one drain.
+
+    ``run_call(state, i)`` advances the rollout with a call-unique seed/key
+    (distinct across samples so no RNG stream repeats).  Returns env-steps/s
+    per sample.
+    """
+    rates = []
+    call_idx = 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(CALLS_PER_SAMPLE):
+            state = run_call(state, call_idx)
+            call_idx += 1
+        drain(state)
+        dt = time.perf_counter() - t0
+        rates.append(CALLS_PER_SAMPLE * STEPS_PER_CALL * BATCH / dt)
+    return rates
+
+
+def bench_composable(topo, impl: str, repeats: int) -> list:
     """The public composable path: ops resolved once via ``make_ops``."""
     ops = hex_env.make_ops(topo, impl=impl)
     fresh = ops.initial_state(BATCH)
@@ -71,61 +101,76 @@ def bench_composable(topo, impl: str) -> float:
         return state
 
     state = ops.initial_state(BATCH)
-    state = run(state, jax.random.key(0))
+    state = run(state, jax.random.key(0))  # compile + warm
     drain(state)
-
-    t0 = time.perf_counter()
-    for i in range(REPEATS):
-        state = run(state, jax.random.key(i + 1))
-    drain(state)
-    dt = time.perf_counter() - t0
-    return REPEATS * STEPS_PER_CALL * BATCH / dt
+    return _sample_rates(
+        lambda st, i: run(st, jax.random.key(i + 1)), state, repeats
+    )
 
 
-def bench_pallas(topo) -> float:
+def bench_pallas(topo, repeats: int) -> list:
     run = jax.jit(
         lambda st, seed: pallas_step.random_rollout(topo, st, seed, STEPS_PER_CALL)
     )
     state = hex_env.initial_state(topo, BATCH)
-    state, games = run(state, 0)
+    state, games = run(state, 0)  # compile + warm
     drain(state)
     if int(games.sum()) <= 0:
         raise RuntimeError("fused rollout finished no games — refusing to report")
 
-    t0 = time.perf_counter()
-    for i in range(REPEATS):
-        state, games = run(state, i + 1)
-    drain(state)
-    dt = time.perf_counter() - t0
-    return REPEATS * STEPS_PER_CALL * BATCH / dt
+    def call(st, i):
+        st, _ = run(st, i + 1)
+        return st
+
+    return _sample_rates(call, state, repeats)
 
 
-def main() -> None:
+def _stats(rates: list) -> dict:
+    return {
+        "median": round(statistics.median(rates), 1),
+        "min": round(min(rates), 1),
+        "max": round(max(rates), 1),
+        "samples": [round(r, 1) for r in rates],
+    }
+
+
+def main(repeats: int = DEFAULT_REPEATS) -> None:
     topo = get_topology(BOARD)
-    pallas_rate, pallas_error = 0.0, None
+    pallas_rates, pallas_error = [], None
     try:
-        pallas_rate = bench_pallas(topo)
+        pallas_rates = bench_pallas(topo, repeats)
     except Exception as e:  # a Pallas regression must be loud, not a silent lax fallback
         pallas_error = f"{type(e).__name__}: {e}"
-    api_rate, api_error = 0.0, None
+    api_rates, api_error = [], None
     try:
-        api_rate = bench_composable(topo, "auto")
+        api_rates = bench_composable(topo, "auto", repeats)
     except Exception as e:
         api_error = f"{type(e).__name__}: {e}"
-    lax_rate = bench_composable(topo, "lax")
-    steps_per_s = max(pallas_rate, api_rate, lax_rate)
+    lax_rates = bench_composable(topo, "lax", repeats)
+
+    med = lambda rs: statistics.median(rs) if rs else 0.0
+    paths = [("pallas", pallas_rates), ("api", api_rates), ("lax", lax_rates)]
+    winner, win_rates = max(paths, key=lambda kv: med(kv[1]))
+    steps_per_s = med(win_rates)
     record = {
         "metric": "hex_env_steps_per_s_7x7_b8192",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / TARGET, 3),
-        "pallas_steps_per_s": round(pallas_rate, 1),
-        "api_steps_per_s": round(api_rate, 1),
-        "lax_steps_per_s": round(lax_rate, 1),
-        "winner": max(
-            [("pallas", pallas_rate), ("api", api_rate), ("lax", lax_rate)],
-            key=lambda kv: kv[1],
-        )[0],
+        "winner": winner,
+        "median": round(steps_per_s, 1),
+        "spread": {
+            "min": round(min(win_rates), 1),
+            "max": round(max(win_rates), 1),
+            "n_samples": len(win_rates),
+        },
+        "pallas": _stats(pallas_rates) if pallas_rates else None,
+        "api": _stats(api_rates) if api_rates else None,
+        "lax": _stats(lax_rates),
+        # single-number fields kept for cross-round comparability (now medians)
+        "pallas_steps_per_s": round(med(pallas_rates), 1),
+        "api_steps_per_s": round(med(api_rates), 1),
+        "lax_steps_per_s": round(med(lax_rates), 1),
     }
     if pallas_error is not None:
         record["pallas_error"] = pallas_error
@@ -139,6 +184,7 @@ def main() -> None:
     # VMEM-resident and only pays its launch + carry traffic.
     from hex_gym_env_tpu.utils import roofline
 
+    api_rate, lax_rate = med(api_rates), med(lax_rates)
     state_bytes = sum(x.nbytes for x in jax.tree.leaves(hex_env.initial_state(topo, BATCH)))
     # one composable iteration advances ALL of BATCH games by one step, so
     # bytes per reported env-step = per-iteration traffic / BATCH
@@ -159,4 +205,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--repeats", type=int, default=DEFAULT_REPEATS,
+        help="timed samples per path (median/min/max reported; "
+             "shared knob with scripts/tpu_selftest.py --repeats)",
+    )
+    main(repeats=ap.parse_args().repeats)

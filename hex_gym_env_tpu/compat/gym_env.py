@@ -71,6 +71,7 @@ class HexEnv(_GYM_BASE):
         self.sample_board = sample_board
         self._key = jax.random.key(seed)
         self._state = None
+        self._history = []  # step() before the first reset() must not hit AttributeError
         self.winner: Optional[int] = None
         if spaces is not None:
             self.observation_space = spaces.Box(
@@ -127,6 +128,8 @@ class HexEnv(_GYM_BASE):
         restored mover-frame observation."""
         for _ in range(min(steps, len(self._history))):
             self._state = self._history.pop()
+        if self._state is None:  # undo before the first reset: nothing to show
+            return None
         self.winner = None
         return self.observation
 
@@ -141,6 +144,8 @@ class HexEnv(_GYM_BASE):
         self.winner = None
 
     def step(self, action: int):
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
         self._history.append(self._state)
         self._state, rewards = self._jit_step(
             self._state, jnp.asarray([action], jnp.int32)

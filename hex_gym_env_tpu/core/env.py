@@ -249,10 +249,20 @@ def make_ops(
     The lax ``step`` costs a couple dozen XLA micro-kernels per call,
     which dominates the composable path at high step rates (VERDICT r3
     weakness 4).  ``interpret=True`` runs a pinned-Pallas step through the
-    Pallas interpreter (CPU tests of the kernel path); no effect on lax.
+    Pallas interpreter (CPU tests of the kernel path) and therefore
+    requires a resolution that actually picks the kernel — combining it
+    with ``impl="lax"`` (or "auto" off-TPU) would silently test lax
+    instead, so that is an error (ADVICE r4).
     """
     step_fn = resolve_step_impl(impl)
-    if interpret and step_fn is not step:
+    if interpret:
+        if step_fn is step:
+            raise ValueError(
+                "make_ops(interpret=True) needs the Pallas step to resolve "
+                f"(impl='pallas', or 'auto' on TPU); impl={impl!r} on the "
+                f"{jax.default_backend()!r} backend resolved to the lax step, "
+                "which would silently bypass the kernel interpreter"
+            )
         import functools
 
         step_fn = functools.partial(step_fn, interpret=True)

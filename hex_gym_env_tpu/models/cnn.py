@@ -30,6 +30,13 @@ from hex_gym_env_tpu.models.mlp import (
 )
 
 
+# One constant for BOTH the live BatchNorm layers and the folded-bank
+# forward (``fold_bn``): torch's nn.BatchNorm2d default, which the
+# reference's extractor uses (``CustomNetwork.py:46-49``).  ADVICE r4:
+# duplicating the literal silently decoupled the two paths.
+BN_EPS = 1e-5
+
+
 class _ConvBnRelu(nn.Module):
     filters: int
 
@@ -43,7 +50,7 @@ class _ConvBnRelu(nn.Module):
             kernel_init=nn.initializers.orthogonal(ORTHO_HIDDEN_GAIN),
             bias_init=nn.initializers.zeros,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=BN_EPS)(x)
         return nn.relu(x)
 
 
@@ -121,7 +128,7 @@ def fold_bn(variables):
         conv = params[name]["Conv_0"]
         bn = params[name]["BatchNorm_0"]
         bs = stats[name]["BatchNorm_0"]
-        inv = bn["scale"] / jnp.sqrt(bs["var"] + 1e-5)  # (..., Cout)
+        inv = bn["scale"] / jnp.sqrt(bs["var"] + BN_EPS)  # (..., Cout)
         kernel = conv["kernel"] * inv[..., None, None, None, :]
         bias = (conv["bias"] - bs["mean"]) * inv + bn["bias"]
         out[name] = (kernel, bias)

@@ -242,12 +242,15 @@ class Evaluator:
         # then degraded farming it (RESULTS.md r4b).  A small per-eval
         # decay of the recorded scores keeps the replacement bar moving so
         # the curriculum never freezes; strict presets leave it at 0.
+        # Only the pool scores decay — NOT ``best_score`` (changed in r5,
+        # ADVICE r4): decaying the promotion bar made best-snapshot
+        # selection non-monotone (a later, weaker agent could overwrite
+        # ``best_params``), corrupting the ``best_*`` deliverable the
+        # sweeps compare.  The replacement bar is ``min(scores)``, so the
+        # anti-freeze mechanism is unaffected.
         decay = getattr(self.cfg, "pool_score_decay", 0.0)
         if decay:
-            bank = bank.replace(
-                scores=bank.scores * (1.0 - decay),
-                best_score=bank.best_score * (1.0 - decay),
-            )
+            bank = bank.replace(scores=bank.scores * (1.0 - decay))
         score = mean_reward * jnp.exp(jnp.mean(bank.scores) - 1.0)
         do_replace = (mean_reward > 0) & (score > jnp.min(bank.scores))
         bank = replace_member(bank, k_slot, params, score, do_replace)

@@ -100,8 +100,10 @@ class SelfplayConfig:
     # path ignores it; strict presets pin the scan path and f32.
     rollout_bank_bf16: bool = False
     # Opt-in pool-freeze mitigation (0.0 = reference-exact protocol): decay
-    # every pool member's recorded score (and best_score) by this fraction
-    # per eval pass, so the replacement bar keeps moving.  The reference's
+    # every pool member's recorded score by this fraction per eval pass, so
+    # the replacement bar keeps moving (best_score does NOT decay — the
+    # promotion bar stays monotone so the best_* deliverable can't be
+    # overwritten by a weaker later agent; ADVICE r4).  The reference's
     # rule self-terminates once scores saturate (measured: at 71M budgets
     # every seed's pool froze by ~18M steps and the final agent degraded —
     # RESULTS.md r4b).  A small value (e.g. 1e-3) keeps the curriculum

@@ -269,4 +269,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--repeats", type=int, default=0,
+        help="after the correctness checks, run the headline benchmark "
+             "with this many timed samples per path (bench.py --repeats; "
+             "0 = checks only)",
+    )
+    args = ap.parse_args()
     main()
+    if args.repeats > 0:
+        import bench
+
+        bench.main(repeats=args.repeats)

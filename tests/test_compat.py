@@ -194,3 +194,16 @@ def test_hex_env_undo_and_board_edit():
     # edit is undoable too
     env.undo_move(1)
     np.testing.assert_array_equal(env.observation, obs0)
+
+
+def test_hex_env_step_before_reset_is_a_clear_error():
+    """r5 robustness fix (VERDICT r4 item 8): stepping before the first
+    reset() used to crash with ``AttributeError: _history``; it must raise
+    an actionable error instead, and undo before reset must be a no-op."""
+    env = HexEnv(board_size=5)
+    with pytest.raises(RuntimeError, match="reset"):
+        env.step(0)
+    env.undo_move(3)  # no history yet -> no-op, no crash
+    env.reset(seed=0)
+    obs, reward, done, info = env.step(0)
+    assert obs.shape == (5, 5)

@@ -216,16 +216,25 @@ def _patch_has_text(gui, y, x) -> bool:
     """True when the text color appears near cell (y, x)'s center.
 
     Antialiased glyphs (the bundled DejaVu font) blend most pixels toward
-    the background, so sample every pixel and accept near-text colors
-    rather than exact even-offset hits.
+    the background, so sample every pixel — but demand >=3 near-solid
+    glyph-core pixels (Manhattan distance < 45 from the text color).  The
+    r4 version accepted ONE pixel within 90, which a black stone
+    (distance 60 from light-mode text) or a blend pixel could satisfy —
+    a near-tautology on some color schemes (ADVICE r4).  45 excludes
+    every color an EMPTY probed cell can show in either scheme (closest:
+    light black_stone at 60; dark white_stone is nearer to dark text, so
+    only probe empty cells) while glyph cores at >=90% text blend pass.
     """
     cx, cy = gui.get_center(y + 1, x + 1)
     text = gui.colors["text"]
+    hits = 0
     for dy in range(-10, 11):
         for dx in range(-10, 11):
             px = gui.screen.get_at((int(cx) + dx, int(cy) + dy))[:3]
-            if sum(abs(a - b) for a, b in zip(px, text)) < 90:
-                return True
+            if sum(abs(a - b) for a, b in zip(px, text)) < 45:
+                hits += 1
+                if hits >= 3:
+                    return True
     return False
 
 

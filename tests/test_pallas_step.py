@@ -147,3 +147,15 @@ def test_make_ops_pallas_pin_interpret_matches_lax():
         for x, y in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_make_ops_interpret_requires_kernel_resolution():
+    """interpret=True with a lax resolution used to be a silent no-op — a
+    test meaning to exercise the kernel interpreter would quietly test lax
+    instead (ADVICE r4).  It must raise."""
+    topo = get_topology(5)
+    with pytest.raises(ValueError, match="interpret"):
+        hex_env.make_ops(topo, impl="lax", interpret=True)
+    # "auto" off-TPU resolves to lax too (conftest pins the cpu backend)
+    with pytest.raises(ValueError, match="interpret"):
+        hex_env.make_ops(topo, impl="auto", interpret=True)

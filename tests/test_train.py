@@ -366,12 +366,15 @@ def test_epoch_permutations_are_uniform_permutations():
 
 def test_pool_score_decay_mechanics():
     """Opt-in mitigation for the r4b-measured pool freeze: with
-    ``pool_score_decay`` every recorded pool score (and best_score) shrinks
-    by the decay fraction each eval pass, so the replacement bar keeps
-    moving; at 0.0 the reference-exact rule applies and scores are
-    untouched.  (Whether a frozen pool actually unfreezes depends on the
-    agent's eval winrate — that dynamics claim is the r4b measurement,
-    RESULTS.md; this pins the mechanism.)"""
+    ``pool_score_decay`` every recorded pool score shrinks by the decay
+    fraction each eval pass, so the replacement bar (``min(scores)``)
+    keeps moving; at 0.0 the reference-exact rule applies and scores are
+    untouched.  ``best_score`` does NOT decay (r5, ADVICE r4): the
+    promotion bar must stay monotone or a later weaker agent could
+    overwrite the ``best_*`` deliverable.  (Whether a frozen pool
+    actually unfreezes depends on the agent's eval winrate — that
+    dynamics claim is the r4b measurement, RESULTS.md; this pins the
+    mechanism.)"""
     import dataclasses
 
     base = _small_cfg()
@@ -401,5 +404,6 @@ def test_pool_score_decay_mechanics():
     scores1, best1, rep1 = run_eval(0.25)
     # decayed: every slot the replacement did not overwrite reads 0.675
     assert np.isclose(scores1, 0.9 * 0.75).sum() >= scores1.size - 1
-    # best_score decays too unless the eval just re-promoted past it
-    assert best1 <= 0.9 * 0.75 + 1e-6 or rep1
+    # the promotion bar is monotone: best_score never decays (it can only
+    # rise, if this eval's score out-promoted it)
+    assert best1 >= 0.9 - 1e-6
