@@ -201,3 +201,98 @@ def bank_logits(model: CnnPolicy, stacked_variables, obs, paired: bool = False,
         pi = jnp.maximum(dense(f"pi_{i}", pi), 0.0)
     logits = dense("action_head", pi)  # (P, Bp, A)
     return logits[:, 0] if paired else logits
+
+
+def gathered_bank_logits(
+    model: CnnPolicy,
+    stacked_variables,
+    best_variables,
+    use_best,
+    opp_idx,
+    obs,
+    dtype=jnp.float32,
+):
+    """Member-assigned logits ``(B, A)``, computing ONLY each env's opponent.
+
+    The dense bank pass (``bank_logits``) runs every member on every board:
+    P x B conv FLOPs per opponent ply — at 9x9/pool-31 ~0.93 GFLOP per
+    transition, the measured ceiling of the CNN family at 44-46k
+    transitions/s (RESULTS.md r4).  The rollout only needs each env's
+    *assigned* opponent (``use_best``/``opp_idx``, the reference's
+    per-episode ``setup_opponents`` draw), so here:
+
+    1. BatchNorm is folded once and the conv stack is GATHERED per env
+       (B x ~735 KB of filters — bandwidth-cheap vs the P x conv FLOPs it
+       replaces); ``use_best`` rows take the best snapshot's folded stack;
+    2. each conv layer runs as ONE feature-grouped conv with
+       ``feature_group_count=B`` — every env is a group carrying its own
+       member's filters (same lowering shape as the evaluator's paired
+       pass, with weights per env instead of per member);
+    3. the dense tower stays weight-DENSE: all P members' towers run on
+       each env's features as P-batched GEMMs, then row-select.  Tower
+       FLOPs are ~5% of the conv stack's, while gathering its (5184, 128)
+       kernels per env would cost more HBM traffic than the dense compute;
+       ``use_best`` rows select a separately-computed best tower.
+
+    Numerics: the selected rows equal the dense pass's selection up to f32
+    reassociation (different grouped-conv lowering), asserted to tolerance
+    in ``tests/test_models.py``.
+    """
+    import jax
+
+    folded = fold_bn(stacked_variables)
+    folded_best = fold_bn(best_variables)
+    params = stacked_variables["params"]
+    bparams = best_variables["params"]
+    B, n = obs.shape[0], obs.shape[-1]
+    ub_k = use_best[:, None, None, None, None]
+
+    # (1, H, W, B, 1): each env is a channel group
+    x = obs.astype(dtype).reshape(1, B, n, n).transpose(0, 2, 3, 1)[..., None]
+    for name in _CONV_LAYERS:
+        k_st, b_st = folded[name]  # (P, 3, 3, Cin, Cout), (P, Cout)
+        k_bb, b_bb = folded_best[name]
+        kg = jnp.where(ub_k, k_bb[None], k_st[opp_idx])  # (B, 3, 3, Cin, Cout)
+        bg = jnp.where(use_best[:, None], b_bb[None], b_st[opp_idx])  # (B, Cout)
+        cin, cout = kg.shape[-2], kg.shape[-1]
+        lhs = x.reshape(1, n, n, B * cin)
+        # HWIO rhs, group b's filters contiguous: B left of cout
+        rhs = kg.transpose(1, 2, 3, 0, 4).reshape(3, 3, cin, B * cout).astype(dtype)
+        y = jax.lax.conv_general_dilated(
+            lhs, rhs,
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=B,
+            preferred_element_type=jnp.float32,
+        )  # (1, n, n, B*Cout)
+        y = y.reshape(1, n, n, B, cout) + bg[None, None, None]
+        x = jnp.maximum(y, 0.0).astype(dtype)
+
+    # (1, n, n, B, C) -> (B, n*n*C), feature order matching flatten
+    feats = x.transpose(3, 0, 1, 2, 4).reshape(B, -1).astype(jnp.float32)
+
+    def dense_all(name, h):  # h (B, P, K) or (B, K) feats broadcast
+        W = params[name]["kernel"].astype(jnp.float32)  # (P, K, M)
+        b = params[name]["bias"].astype(jnp.float32)  # (P, M)
+        eq = "bk,pkm->bpm" if h.ndim == 2 else "bpk,pkm->bpm"
+        return jnp.einsum(eq, h, W) + b[None]
+
+    h = jnp.maximum(dense_all("features", feats), 0.0)
+    for i in range(len(model.pi_layers)):
+        h = jnp.maximum(dense_all(f"pi_{i}", h), 0.0)
+    logits_all = dense_all("action_head", h)  # (B, P, A)
+    sel = jnp.take_along_axis(
+        logits_all, opp_idx[:, None, None], axis=1
+    )[:, 0]  # (B, A)
+
+    def dense_best(name, h):
+        W = bparams[name]["kernel"].astype(jnp.float32)
+        b = bparams[name]["bias"].astype(jnp.float32)
+        return h @ W + b
+
+    hb = jnp.maximum(dense_best("features", feats), 0.0)
+    for i in range(len(model.pi_layers)):
+        hb = jnp.maximum(dense_best(f"pi_{i}", hb), 0.0)
+    best_logits = dense_best("action_head", hb)  # (B, A)
+
+    return jnp.where(use_best[:, None], best_logits, sel)

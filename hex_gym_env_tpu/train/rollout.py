@@ -105,6 +105,28 @@ class SelfplayRunner:
     ):
         obs_f = hex_env.observe(self.topo, state).astype(jnp.float32)
         legal = hex_env.legal_mask(self.topo, state)
+        from hex_gym_env_tpu.models.cnn import CnnPolicy, gathered_bank_logits
+
+        mode = getattr(self.cfg, "cnn_bank_mode", "auto")
+        if mode not in ("auto", "dense", "gathered"):
+            raise ValueError(
+                f"cnn_bank_mode must be 'auto'/'dense'/'gathered', got {mode!r}"
+            )
+        if isinstance(self.model, CnnPolicy) and mode != "dense":
+            # compute only each env's assigned opponent (gathered folded
+            # conv stack + weight-dense tower; the best snapshot rides the
+            # same pass) — the dense P x B pass was the measured CNN
+            # throughput ceiling (RESULTS.md r4 -> r5)
+            dtype = (
+                jnp.bfloat16
+                if getattr(self.cfg, "rollout_bank_bf16", False)
+                else jnp.float32
+            )
+            logits = gathered_bank_logits(
+                self.model, bank.params, bank.best_params,
+                use_best, opp_idx, obs_f, dtype=dtype,
+            )
+            return logits, legal
         per_member = self.bank_forward(bank.params, obs_f)  # (P, B, A)
         chosen = jnp.take_along_axis(
             per_member, opp_idx[None, :, None], axis=0

@@ -99,6 +99,15 @@ class SelfplayConfig:
     # agent forward, value, and log-prob stay exact f32.  The MLP scan
     # path ignores it; strict presets pin the scan path and f32.
     rollout_bank_bf16: bool = False
+    # CNN opponent-bank strategy inside the rollout scan: "dense" runs
+    # every pool member on every board (P x B conv FLOPs per opponent ply
+    # — the r4 path, 44-46k transitions/s at 9x9/pool-31); "gathered"
+    # computes only each env's ASSIGNED opponent (fold BN, gather the conv
+    # stack per env, one feature_group_count=B conv per layer; the dense
+    # tower stays weight-dense + row-select).  "auto" = gathered (selected
+    # rows match dense to f32-reassociation tolerance; MLP banks ignore
+    # this — their dense pass is a single tiny batched GEMM).
+    cnn_bank_mode: str = "auto"  # "auto" | "dense" | "gathered"
     # Opt-in pool-freeze mitigation (0.0 = reference-exact protocol): decay
     # every pool member's recorded score by this fraction per eval pass, so
     # the replacement bar keeps moving (best_score does NOT decay — the

@@ -65,6 +65,25 @@ def cnn_forward_flops(
     return fl
 
 
+def cnn_gathered_bank_flops(
+    n_cells: int, pool: int, filters: int = 64, features_dim: int = 128,
+    tower_width: int = 128, tower_layers: int = 2, n_actions: int = 0,
+) -> float:
+    """Per-transition opponent-pass FLOPs for the GATHERED CNN bank
+    (``models/cnn.gathered_bank_logits``): ONE member's conv stack per env
+    (the gathered filters) plus (pool + 1) weight-dense pi towers on the
+    env's features (all members' towers + the best snapshot's; row-select
+    afterwards).  Compare ``pool x cnn_forward_flops`` for the dense pass.
+    """
+    A = n_actions or n_cells
+    conv = 2.0 * 9 * 1 * filters * n_cells + 4 * 2.0 * 9 * filters * filters * n_cells
+    tower = 2.0 * (n_cells * filters) * features_dim
+    tower += 2.0 * features_dim * tower_width
+    tower += 2.0 * (tower_layers - 1) * tower_width * tower_width
+    tower += 2.0 * tower_width * A
+    return conv + (pool + 1) * tower
+
+
 def policy_tower_flops(n_cells: int, hidden: int, n_layers: int, n_actions: int) -> float:
     """One row through the pi tower + action head only (opponent passes)."""
     fl = 2.0 * n_cells * hidden

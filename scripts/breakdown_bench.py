@@ -56,6 +56,10 @@ def main() -> None:
     p.add_argument("--policy-impl", default="auto")
     p.add_argument("--update-impl", default="auto")
     p.add_argument("--rollout-impl", default="auto")
+    p.add_argument("--cnn-bank-mode", default="auto",
+                   choices=["auto", "dense", "gathered"],
+                   help="CNN opponent-bank strategy (gathered = only each "
+                        "env's assigned member; dense = r4 all-members)")
     p.add_argument("--bank-bf16", action="store_true",
                    help="bf16 opponent-bank forwards (the rollout_bank_bf16 "
                         "deviation; halves bank weight/activation traffic)")
@@ -81,6 +85,7 @@ def main() -> None:
             policy_impl=args.policy_impl,
             rollout_impl=args.rollout_impl,
             rollout_bank_bf16=args.bank_bf16,
+            cnn_bank_mode=args.cnn_bank_mode,
             eval_freq=10**9,
         ),
     )
@@ -105,7 +110,13 @@ def main() -> None:
     L = get_topology(N).lanes
     if args.policy == "CNN":
         fwd = roofline.cnn_forward_flops(F, n_actions=A)
-        opp = P1 * fwd  # grouped bank pass runs the full extractor per member
+        if args.cnn_bank_mode != "dense":
+            # gathered pass: one conv stack per env + weight-dense towers
+            opp = roofline.cnn_gathered_bank_flops(
+                F, args.buffer_size, n_actions=A
+            )
+        else:
+            opp = P1 * fwd  # dense bank runs the full extractor per member
     else:
         fwd = roofline.mlp_forward_flops(F, H, NL, A)
         opp = P1 * roofline.policy_tower_flops(F, H, NL, A)

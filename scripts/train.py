@@ -57,6 +57,11 @@ def main() -> None:
                     help="rollout backend; fused runs ALL T steps in one "
                          "Pallas kernel (auto picks it on TPU when the "
                          "pallas policy path resolves)")
+    ap.add_argument("--cnn-bank-mode", choices=["auto", "dense", "gathered"],
+                    default=None,
+                    help="CNN opponent-bank strategy: gathered computes only "
+                         "each env's assigned opponent (default via auto); "
+                         "dense pins the r4 all-members pass")
     ap.add_argument("--pool-score-decay", type=float, default=None,
                     help="decay pool scores by this fraction per eval pass "
                          "(opt-in mitigation for the measured pool-freeze "
@@ -123,6 +128,8 @@ def main() -> None:
         overrides["rollout_bank_bf16"] = True
     if args.pool_score_decay is not None:
         overrides["pool_score_decay"] = args.pool_score_decay
+    if args.cnn_bank_mode is not None:
+        overrides["cnn_bank_mode"] = args.cnn_bank_mode
     if args.model_name is not None:
         overrides["model_name"] = args.model_name
     cfg = get_config(args.experiment, **overrides)

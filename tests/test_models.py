@@ -166,3 +166,42 @@ def test_cnn_bank_logits_matches_per_member_apply():
     np.testing.assert_allclose(
         np.asarray(got_p), np.asarray(ref_p), rtol=1e-3, atol=1e-4
     )
+
+
+def test_cnn_gathered_bank_logits_matches_assigned_member_apply():
+    """The r5 gathered bank pass (models/cnn.gathered_bank_logits) computes
+    only each env's ASSIGNED opponent; its rows must reproduce the assigned
+    member's (or the best snapshot's, where use_best) ``model.apply``
+    to f32-reassociation tolerance."""
+    from hex_gym_env_tpu.models import cnn as cnn_mod
+
+    n, P, B = 5, 3, 8
+    model = CnnPolicy(n_actions=n * n)
+    dummy = jnp.zeros((1, n, n), jnp.float32)
+    keys = jax.random.split(jax.random.key(0), P + 1)
+    members = [model.init(k, dummy) for k in keys]
+
+    def perturb(i, m):
+        m = jax.tree.map(
+            lambda x: x + 0.1 * jax.random.normal(jax.random.key(i), x.shape), m
+        )
+        return {"params": m["params"],
+                "batch_stats": jax.tree.map(jnp.abs, m["batch_stats"])}
+
+    members = [perturb(i, m) for i, m in enumerate(members)]
+    best = members[-1]
+    members = members[:-1]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+    obs = jax.random.normal(jax.random.key(9), (B, n, n))
+    opp_idx = jnp.asarray([0, 1, 2, 2, 1, 0, 2, 1], jnp.int32)
+    use_best = jnp.asarray([False, True, False, False, True, False, False, True])
+
+    got = cnn_mod.gathered_bank_logits(
+        model, stacked, best, use_best, opp_idx, obs
+    )
+    ref = jnp.stack([
+        model.apply(best if bool(use_best[b]) else members[int(opp_idx[b])],
+                    obs[b : b + 1])[0][0]
+        for b in range(B)
+    ])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-4)
