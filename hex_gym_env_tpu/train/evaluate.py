@@ -225,15 +225,96 @@ class Evaluator:
         )
         return out.flts[..., pr.F_REWARD].sum(axis=0)
 
-    def eval_and_update(
+    def play_vs_pool_sharded(
         self,
         params: Any,
         bank: OpponentBank,
         key: jax.Array,
-        fixed_seats: jnp.ndarray | None = None,
+        episode_ids: jnp.ndarray,
+        seats_all: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Evaluate an explicit slice of the episode grid (sharded eval).
+
+        Unlike ``play_vs_pool`` (one batched draw per move for the whole
+        batch — whose PRNG stream depends on the batch width), every random
+        draw here is keyed per GLOBAL episode id (``fold_in(key, eid)``
+        then per move pair), so a mesh of D devices each evaluating E/D
+        episodes produces bitwise the same per-episode rewards at every D
+        (``tests/test_sharding.py``).  ``seats_all`` is the full (gathered)
+        rollout seat vector for the ``fixed_random`` inheritance rule;
+        ``sample_board`` runs are served by the replicated evaluator
+        instead (board sampling has no per-episode key derivation).
+        """
+        topo, cfg = self.topo, self.cfg
+        if cfg.sample_board:
+            raise NotImplementedError(
+                "sharded eval does not support sample_board; use the "
+                "replicated evaluator"
+            )
+        P = bank.size
+        El = episode_ids.shape[0]
+        served = jax.tree.map(
+            lambda x: x[jnp.minimum(episode_ids, P - 1)], bank.params
+        )
+        k_seat, k_first, k_play = jax.random.split(key, 3)
+        if cfg.seat_mode == "fixed_random":
+            seat = seats_all[episode_ids % seats_all.shape[0]].astype(jnp.int32)
+        else:
+            seat = jax.vmap(
+                lambda e: jax.random.bernoulli(jax.random.fold_in(k_seat, e), 0.5)
+            )(episode_ids).astype(jnp.int32)
+
+        ep_first = jax.vmap(lambda e: jax.random.fold_in(k_first, e))(episode_ids)
+        ep_play = jax.vmap(lambda e: jax.random.fold_in(k_play, e))(episode_ids)
+
+        def sample_rows(keys, logits, legal):
+            return jax.vmap(
+                lambda k, l, m: jax.random.categorical(k, masked.mask_logits(l, m))
+            )(keys, logits, legal).astype(jnp.int32)
+
+        state = hex_env.initial_state(topo, El)
+
+        def opponent_move(st, keys, active):
+            logits = self._opponent_logits(served, st)
+            legal = hex_env.legal_mask(topo, st)
+            a = sample_rows(keys, logits, legal)
+            return self.step(topo, st, a, active=active)
+
+        state, _ = opponent_move(state, ep_first, active=seat == 1)
+
+        def body(carry, s):
+            st, total = carry
+            obs = hex_env.observe(topo, st).astype(jnp.float32)
+            legal = hex_env.legal_mask(topo, st)
+            logits, _ = self.model.apply(params, obs)
+            a = masked.mode(logits, legal)  # deterministic agent
+            st, rew1 = self.step(topo, st, a)
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(ep_play)
+            st, rew2 = opponent_move(st, keys, active=~st.done)
+            seat_col = seat[:, None]
+            got = (
+                jnp.take_along_axis(rew1, seat_col, axis=1)[:, 0]
+                + jnp.take_along_axis(rew2, seat_col, axis=1)[:, 0]
+            )
+            return (st, total + got), None
+
+        n_pairs = topo.num_cells // 2 + 2
+        (state, total), _ = jax.lax.scan(
+            body, (state, jnp.zeros((El,), jnp.float32)), jnp.arange(n_pairs)
+        )
+        return total
+
+    def apply_pool_update(
+        self,
+        params: Any,
+        bank: OpponentBank,
+        rewards: jnp.ndarray,
+        k_slot: jax.Array,
     ) -> tuple[OpponentBank, EvalResult]:
-        k_play, k_slot = jax.random.split(key)
-        rewards = self.play_vs_pool(params, bank, k_play, fixed_seats=fixed_seats)
+        """The pool-mutation tail of an eval pass (score, replace, promote
+        of the agent's ``params``) given the (E,) episode rewards — shared
+        by the replicated and the sharded evaluators so the protocol lives
+        in exactly one place."""
         mean_reward = rewards.mean()
         # Opt-in pool-freeze mitigation (default 0.0 = reference-exact):
         # the reference's replacement rule self-terminates once pool scores
@@ -261,3 +342,14 @@ class Evaluator:
             replaced=do_replace,
             best_score=bank.best_score,
         )
+
+    def eval_and_update(
+        self,
+        params: Any,
+        bank: OpponentBank,
+        key: jax.Array,
+        fixed_seats: jnp.ndarray | None = None,
+    ) -> tuple[OpponentBank, EvalResult]:
+        k_play, k_slot = jax.random.split(key)
+        rewards = self.play_vs_pool(params, bank, k_play, fixed_seats=fixed_seats)
+        return self.apply_pool_update(params, bank, rewards, k_slot)
