@@ -124,17 +124,31 @@ class Evaluator:
         topo, cfg = self.topo, self.cfg
         P = bank.size
         E = cfg.eval_episodes
-        if self.fused_pol is not None and not cfg.sample_board:
+        sym = getattr(cfg, "symmetric_eval", False)
+        if self.fused_pol is not None and not cfg.sample_board and not sym:
             return self._play_vs_pool_fused(params, bank, key, fixed_seats)
-        served = jax.tree.map(lambda x: x[serve_indices(E, P)], bank.params)
         k_board, k_seat, k_first, k_play = jax.random.split(key, 4)
+        if sym:
+            # opt-in symmetric criterion: every served member twice — once
+            # with the agent in each seat; seat_mode/fixed_seats are
+            # intentionally overridden (that asymmetry is what the knob
+            # removes).  Row i and row E+i serve the same member.
+            n_ep = 2 * E
+            serve = jnp.tile(serve_indices(E, P), 2)
+            seat = jnp.concatenate(
+                [jnp.zeros((E,), jnp.int32), jnp.ones((E,), jnp.int32)]
+            )
+        else:
+            n_ep = E
+            serve = serve_indices(E, P)
+            seat = eval_seats(cfg, k_seat, E, fixed_seats)
+        served = jax.tree.map(lambda x: x[serve], bank.params)
 
         if cfg.sample_board:
-            boards = random_board.sample_boards(k_board, topo, E)
+            boards = random_board.sample_boards(k_board, topo, n_ep)
             state = hex_env.state_from_boards(topo, boards)
         else:
-            state = hex_env.initial_state(topo, E)
-        seat = eval_seats(cfg, k_seat, E, fixed_seats)
+            state = hex_env.initial_state(topo, n_ep)
 
         def opponent_move(st, k, active):
             logits = self._opponent_logits(served, st)
@@ -162,8 +176,10 @@ class Evaluator:
 
         n_pairs = topo.num_cells // 2 + 2
         (state, total), _ = jax.lax.scan(
-            body, (state, jnp.zeros((E,), jnp.float32)), jax.random.split(k_play, n_pairs)
+            body, (state, jnp.zeros((n_ep,), jnp.float32)), jax.random.split(k_play, n_pairs)
         )
+        if sym:
+            return 0.5 * (total[:E] + total[E:])  # per-member two-seat mean
         return total
 
     def _play_vs_pool_fused(

@@ -99,6 +99,14 @@ class SelfplayConfig:
     # agent forward, value, and log-prob stay exact f32.  The MLP scan
     # path ignores it; strict presets pin the scan path and f32.
     rollout_bank_bf16: bool = False
+    # Opt-in symmetric eval criterion (False = reference-exact): play every
+    # pool member from BOTH seats (2E episodes per eval) and record the
+    # per-member mean, so the score/replacement/promotion formulas demand
+    # two-seat competence.  The reference's one-episode-per-member eval can
+    # promote a seat specialist as "best" (measured: a 5x5 strict seed's
+    # promoted snapshot won 118-vs-1 by seat, RESULTS.md r4); strict
+    # presets MUST leave this False.
+    symmetric_eval: bool = False
     # CNN opponent-bank strategy inside the rollout scan: "dense" runs
     # every pool member on every board (P x B conv FLOPs per opponent ply
     # — the r4 path, 44-46k transitions/s at 9x9/pool-31); "gathered"

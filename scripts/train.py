@@ -57,6 +57,11 @@ def main() -> None:
                     help="rollout backend; fused runs ALL T steps in one "
                          "Pallas kernel (auto picks it on TPU when the "
                          "pallas policy path resolves)")
+    ap.add_argument("--symmetric-eval", action="store_true",
+                    help="opt-in: eval every pool member from BOTH seats "
+                         "(2E episodes, per-member mean) so promotion "
+                         "requires two-seat competence; reference-exact "
+                         "protocol off")
     ap.add_argument("--cnn-bank-mode", choices=["auto", "dense", "gathered"],
                     default=None,
                     help="CNN opponent-bank strategy: gathered computes only "
@@ -130,6 +135,8 @@ def main() -> None:
         overrides["pool_score_decay"] = args.pool_score_decay
     if args.cnn_bank_mode is not None:
         overrides["cnn_bank_mode"] = args.cnn_bank_mode
+    if args.symmetric_eval:
+        overrides["symmetric_eval"] = True
     if args.model_name is not None:
         overrides["model_name"] = args.model_name
     cfg = get_config(args.experiment, **overrides)

@@ -407,3 +407,53 @@ def test_pool_score_decay_mechanics():
     # the promotion bar is monotone: best_score never decays (it can only
     # rise, if this eval's score out-promoted it)
     assert best1 >= 0.9 - 1e-6
+
+
+def test_symmetric_eval_mechanics():
+    """Opt-in two-seat eval (r5, VERDICT r4 item 7): every pool member is
+    played from both seats and the recorded per-member reward is the
+    two-seat mean, so the promotion criterion demands two-seat competence.
+    Pins: (a) rewards keep the (E,) shape (2E episodes averaged in
+    halves, so values are multiples of 0.5); (b) the result ignores
+    seat_mode/fixed_seats entirely (that asymmetry is what the knob
+    removes); (c) default False keeps the reference-exact single-episode
+    eval."""
+    import dataclasses
+
+    base = _small_cfg()
+
+    def evaluator(sym, seat_mode="per_episode"):
+        cfg = dataclasses.replace(
+            base,
+            selfplay=dataclasses.replace(
+                base.selfplay, symmetric_eval=sym, seat_mode=seat_mode
+            ),
+        )
+        return SelfplayPPO(cfg)
+
+    algo = evaluator(True)
+    state = algo.init_state(jax.random.key(0))
+    E = algo.cfg.selfplay.eval_episodes
+    key = jax.random.key(5)
+
+    r_a = np.asarray(jax.jit(algo.evaluator.play_vs_pool)(
+        state.params, state.bank, key, jnp.zeros((algo.cfg.selfplay.n_envs,), jnp.int32)
+    ))
+    assert r_a.shape == (E,)
+    # two-seat means of +-1 games: every value is a multiple of 0.5
+    np.testing.assert_allclose(r_a * 2, np.round(r_a * 2), atol=1e-6)
+
+    # (b) invariant to seat_mode AND the fixed_seats vector
+    algo_f = evaluator(True, seat_mode="fixed_random")
+    r_b = np.asarray(jax.jit(algo_f.evaluator.play_vs_pool)(
+        state.params, state.bank, key, jnp.ones((algo.cfg.selfplay.n_envs,), jnp.int32)
+    ))
+    np.testing.assert_array_equal(r_a, r_b)
+
+    # (c) off by default, and the single-episode eval differs in general
+    algo_off = evaluator(False)
+    r_c = np.asarray(jax.jit(algo_off.evaluator.play_vs_pool)(
+        state.params, state.bank, key, jnp.zeros((algo.cfg.selfplay.n_envs,), jnp.int32)
+    ))
+    assert r_c.shape == (E,)
+    assert algo_off.cfg.selfplay.symmetric_eval is False
