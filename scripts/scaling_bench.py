@@ -199,6 +199,29 @@ def bench_devices(n_devices: int, args) -> dict:
 
     import os
 
+    # Eval pass: sharded (r5 — ceil(E/D) episodes per device + all_gather)
+    # vs the r4 replicated layout (every device computes all E episodes via
+    # the inherited single-program evaluator, with implicit resharding of
+    # the carry seats).  Cheap at pool<=30/MLP; the ratio is what matters
+    # at buffer-256/CNN scales (VERDICT r4 item 6's timing line).
+    from hex_gym_env_tpu.train.selfplay import SelfplayPPO as _Base
+
+    es = algo.init_sharded_state(jax.random.key(2))
+    eval_sharded = jax.jit(algo.eval_step)
+    eval_repl = jax.jit(lambda s: _Base.eval_step(algo, s))
+
+    def time_eval(fn, s):
+        out = fn(s)  # compile + warm
+        drain(out[0].bank.scores)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(s)
+        drain(out[0].bank.scores)
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    eval_sharded_ms = time_eval(eval_sharded, es)
+    eval_replicated_ms = time_eval(eval_repl, es)
+
     per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs
     report = {
         "devices": n_devices,
@@ -207,6 +230,8 @@ def bench_devices(n_devices: int, args) -> dict:
         "n_envs": cfg.selfplay.n_envs,
         "transitions_per_s": per_iter * args.iters / dt,
         "iter_ms": dt / args.iters * 1e3,
+        "eval_sharded_ms": eval_sharded_ms,
+        "eval_replicated_ms": eval_replicated_ms,
         "hlo_collective_ops": collectives,  # static census: ops inside lax.scan bodies count once
         "n_params": int(sum(x.size for x in jax.tree.leaves(state.params))),
         "host_cpu_count": os.cpu_count(),
