@@ -77,6 +77,12 @@ _add("7x7_buffer_256", 7, buffer_size=256, eval_freq=8_000, total=10_000_000)
 # SelfplayWrapper.py:72-73), its eval cadence, and the lax update path the
 # SB3 numerical-parity harness certifies.  n_envs is the one batched knob
 # (the protocol is per-env; 8 parallel streams keep the chip from idling).
+# CADENCE CAVEAT (measured in r5): eval fires at iteration boundaries once
+# eval_freq transitions accumulate, and an 8-env iteration is 2048 x 8 =
+# 16,384 transitions — so n_envs=8 evals 3.3x SPARSER per transition than
+# the reference's every-5,000 callback cadence.  Only --n-envs 1
+# reproduces the reference's eval/replacement cadence (iteration-quantized
+# to every 6,144); see RESULTS.md r5.
 for _n, _ef in ((5, 10_000), (6, 5_000), (7, 10_000)):
     REGISTRY[f"{_n}x{_n}_strict_sb3"] = TrainConfig(
         ppo=PPOConfig(
