@@ -201,7 +201,14 @@ class DistributedSelfplayPPO(SelfplayPPO):
         configs keep the replicated evaluator (no per-episode board keys).
         """
         cfg = self.cfg
-        if cfg.selfplay.sample_board:
+        if cfg.selfplay.sample_board or getattr(
+            cfg.selfplay, "symmetric_eval", False
+        ):
+            # replicated fallback: sample_board has no per-episode board
+            # keys, and the symmetric two-seat grid lives only in the
+            # replicated evaluator — silently dropping the opt-in
+            # criterion here would be the knob-ignore class this round
+            # made make_ops(interpret=True) raise for
             self._eval_sharded = None
             return
         E = cfg.selfplay.eval_episodes
@@ -229,7 +236,7 @@ class DistributedSelfplayPPO(SelfplayPPO):
         )
 
     def eval_step(self, state: TrainState):
-        if self._eval_sharded is None:  # sample_board: replicated fallback
+        if self._eval_sharded is None:  # sample_board/symmetric_eval fallback
             return super().eval_step(state)
         key, k_eval = jax.random.split(state.key)
         bank, result = self._eval_sharded(

@@ -72,6 +72,11 @@ class SelfplayRunner:
         self.topo = topo
         self.model = model
         self.cfg = cfg
+        mode = getattr(cfg, "cnn_bank_mode", "auto")
+        if mode not in ("auto", "dense", "gathered"):
+            raise ValueError(
+                f"cnn_bank_mode must be 'auto'/'dense'/'gathered', got {mode!r}"
+            )
         self.step = resolve_step_impl(cfg.env_step_impl)
         # fused policy-pass kernels (None -> composable lax path).  One
         # Pallas launch each for agent forward+sample and bank forward+sample
@@ -107,11 +112,8 @@ class SelfplayRunner:
         legal = hex_env.legal_mask(self.topo, state)
         from hex_gym_env_tpu.models.cnn import CnnPolicy, gathered_bank_logits
 
+        # mode validated once in __init__
         mode = getattr(self.cfg, "cnn_bank_mode", "auto")
-        if mode not in ("auto", "dense", "gathered"):
-            raise ValueError(
-                f"cnn_bank_mode must be 'auto'/'dense'/'gathered', got {mode!r}"
-            )
         if isinstance(self.model, CnnPolicy) and mode != "dense":
             # compute only each env's assigned opponent (gathered folded
             # conv stack + weight-dense tower; the best snapshot rides the

@@ -54,8 +54,11 @@ for which in final best; do
     --a "$spec" --b "sb3:/root/reference/models/5x5_MLP-default_lr-0.0003_31" \
     2>> "$OUT") || { echo "MATCH FAILED ${name} $which" >> "$OUT"; continue; }
   echo "$mres" >> "$OUT"
-  printf '{"run": "%s", "board": 5, "seed": 2, "total": 31000000, "n_envs": 8, "which": "%s", "ref": "5x5_MLP-default_lr-0.0003_31", "match": %s}\n' \
-    "$name" "$which" "$(echo "$mres" | tail -1)" >> log/strict_sweep_r5.jsonl
+  # SEPARATE log: this run deviates from the strict protocol (symmetric
+  # eval), so it must NOT merge into the strict band jsonls the sweep
+  # report averages
+  printf '{"run": "%s", "board": 5, "seed": 2, "total": 31000000, "n_envs": 8, "protocol": "symmetric_eval", "which": "%s", "ref": "5x5_MLP-default_lr-0.0003_31", "match": %s}\n' \
+    "$name" "$which" "$(echo "$mres" | tail -1)" >> log/symeval_r5.jsonl
 done
 
 # --- 3. selftest + headline bench with spread -----------------------------

@@ -219,7 +219,8 @@ def bench_devices(n_devices: int, args) -> dict:
         drain(out[0].bank.scores)
         return (time.perf_counter() - t0) / args.iters * 1e3
 
-    eval_sharded_ms = time_eval(eval_sharded, es)
+    eval_is_sharded = getattr(algo, "_eval_sharded", None) is not None
+    eval_sharded_ms = time_eval(eval_sharded, es) if eval_is_sharded else None
     eval_replicated_ms = time_eval(eval_repl, es)
 
     per_iter = cfg.ppo.n_steps * cfg.selfplay.n_envs

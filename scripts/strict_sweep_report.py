@@ -64,7 +64,12 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|---|---|")
     for board, total, n_envs, which in sorted(groups):
         rs = groups[(board, total, n_envs, which)]
-        rs.sort(key=lambda r: str(r.get("seed", r["run"])))
+        rs.sort(
+            key=lambda r: (
+                (0, int(r["seed"])) if isinstance(r.get("seed"), int)
+                else (1, str(r["run"]))
+            )
+        )
         wr = [r["match"]["a_winrate"] for r in rs]
         games = rs[0]["match"].get("games", 1024)
         mean = sum(wr) / len(wr)

@@ -281,6 +281,10 @@ if __name__ == "__main__":
     args = ap.parse_args()
     main()
     if args.repeats > 0:
+        import os
+
+        # bench.py lives at the repo root; resolve it regardless of cwd
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import bench
 
         bench.main(repeats=args.repeats)

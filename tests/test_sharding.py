@@ -161,3 +161,25 @@ def test_sharded_eval_identical_across_mesh_widths():
         got = results[width]
         np.testing.assert_array_equal(got[0], base[0])
         assert got[1:] == base[1:]
+
+
+def test_symmetric_eval_falls_back_to_replicated_eval():
+    """symmetric_eval has no sharded two-seat grid; the distributed algo
+    must fall back to the replicated evaluator rather than silently
+    dropping the opt-in criterion (r5 self-review finding)."""
+    import dataclasses
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, selfplay=dataclasses.replace(cfg.selfplay, symmetric_eval=True)
+    )
+    mesh = make_mesh(n_data=4)
+    algo = DistributedSelfplayPPO(cfg, mesh)
+    assert algo._eval_sharded is None
+    state = algo.init_sharded_state(jax.random.key(11))
+    state, res = jax.jit(algo.eval_step)(state)
+    E = cfg.selfplay.eval_episodes
+    assert np.asarray(res.rewards).shape == (E,)
+    # two-seat means: every reward is a multiple of 0.5
+    r = np.asarray(res.rewards)
+    np.testing.assert_allclose(r * 2, np.round(r * 2), atol=1e-6)
