@@ -201,18 +201,15 @@ class DistributedSelfplayPPO(SelfplayPPO):
         configs keep the replicated evaluator (no per-episode board keys).
         """
         cfg = self.cfg
-        if cfg.selfplay.sample_board or getattr(
-            cfg.selfplay, "symmetric_eval", False
-        ):
-            # replicated fallback: sample_board has no per-episode board
-            # keys, and the symmetric two-seat grid lives only in the
-            # replicated evaluator — silently dropping the opt-in
-            # criterion here would be the knob-ignore class this round
-            # made make_ops(interpret=True) raise for
+        if cfg.selfplay.sample_board:
+            # replicated fallback: board sampling has no per-episode key
+            # derivation, so the sharded pass cannot reproduce it
             self._eval_sharded = None
             return
         E = cfg.selfplay.eval_episodes
-        El = -(-E // self.n_data)  # ceil: trailing pad episodes are dropped
+        sym = getattr(cfg.selfplay, "symmetric_eval", False)
+        G = 2 * E if sym else E  # global episode grid (both seats under sym)
+        El = -(-G // self.n_data)  # ceil: trailing pad episodes are dropped
         evaluator = self.evaluator
 
         def local_eval(params, bank, seats_local, key):
@@ -223,7 +220,9 @@ class DistributedSelfplayPPO(SelfplayPPO):
             rewards_local = evaluator.play_vs_pool_sharded(
                 params, bank, k_play, eids, seats_all
             )
-            rewards = jax.lax.all_gather(rewards_local, DATA_AXIS, tiled=True)[:E]
+            rewards = jax.lax.all_gather(rewards_local, DATA_AXIS, tiled=True)[:G]
+            if sym:
+                rewards = 0.5 * (rewards[:E] + rewards[E:])
             return evaluator.apply_pool_update(params, bank, rewards, k_slot)
 
         rep, bat = P(), P(DATA_AXIS)
@@ -236,7 +235,7 @@ class DistributedSelfplayPPO(SelfplayPPO):
         )
 
     def eval_step(self, state: TrainState):
-        if self._eval_sharded is None:  # sample_board/symmetric_eval fallback
+        if self._eval_sharded is None:  # sample_board: replicated fallback
             return super().eval_step(state)
         key, k_eval = jax.random.split(state.key)
         bank, result = self._eval_sharded(

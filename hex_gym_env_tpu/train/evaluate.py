@@ -254,12 +254,16 @@ class Evaluator:
         Unlike ``play_vs_pool`` (one batched draw per move for the whole
         batch — whose PRNG stream depends on the batch width), every random
         draw here is keyed per GLOBAL episode id (``fold_in(key, eid)``
-        then per move pair), so a mesh of D devices each evaluating E/D
-        episodes produces bitwise the same per-episode rewards at every D
+        then per move pair), so a mesh of D devices each evaluating its
+        slice produces bitwise the same per-episode rewards at every D
         (``tests/test_sharding.py``).  ``seats_all`` is the full (gathered)
         rollout seat vector for the ``fixed_random`` inheritance rule;
         ``sample_board`` runs are served by the replicated evaluator
         instead (board sampling has no per-episode key derivation).
+
+        Under ``symmetric_eval`` the global grid has 2E rows: episode
+        ``e`` plays member ``min(e mod E, P-1)`` with the agent in seat
+        ``e // E`` — the caller averages halves after gathering.
         """
         topo, cfg = self.topo, self.cfg
         if cfg.sample_board:
@@ -268,17 +272,21 @@ class Evaluator:
                 "replicated evaluator"
             )
         P = bank.size
+        E = cfg.eval_episodes
         El = episode_ids.shape[0]
-        served = jax.tree.map(
-            lambda x: x[jnp.minimum(episode_ids, P - 1)], bank.params
-        )
         k_seat, k_first, k_play = jax.random.split(key, 3)
-        if cfg.seat_mode == "fixed_random":
-            seat = seats_all[episode_ids % seats_all.shape[0]].astype(jnp.int32)
+        if getattr(cfg, "symmetric_eval", False):
+            member = jnp.minimum(episode_ids % E, P - 1)
+            seat = (episode_ids // E).astype(jnp.int32)
         else:
-            seat = jax.vmap(
-                lambda e: jax.random.bernoulli(jax.random.fold_in(k_seat, e), 0.5)
-            )(episode_ids).astype(jnp.int32)
+            member = jnp.minimum(episode_ids, P - 1)
+            if cfg.seat_mode == "fixed_random":
+                seat = seats_all[episode_ids % seats_all.shape[0]].astype(jnp.int32)
+            else:
+                seat = jax.vmap(
+                    lambda e: jax.random.bernoulli(jax.random.fold_in(k_seat, e), 0.5)
+                )(episode_ids).astype(jnp.int32)
+        served = jax.tree.map(lambda x: x[member], bank.params)
 
         ep_first = jax.vmap(lambda e: jax.random.fold_in(k_first, e))(episode_ids)
         ep_play = jax.vmap(lambda e: jax.random.fold_in(k_play, e))(episode_ids)

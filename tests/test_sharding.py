@@ -163,23 +163,28 @@ def test_sharded_eval_identical_across_mesh_widths():
         assert got[1:] == base[1:]
 
 
-def test_symmetric_eval_falls_back_to_replicated_eval():
-    """symmetric_eval has no sharded two-seat grid; the distributed algo
-    must fall back to the replicated evaluator rather than silently
-    dropping the opt-in criterion (r5 self-review finding)."""
+def test_symmetric_eval_shards_and_is_width_invariant():
+    """symmetric_eval composes with the sharded eval: the global grid is
+    2E episodes (member e%E, seat e//E), sharded over devices, halves
+    averaged after the gather.  Results must be identical at every mesh
+    width and every reward a two-seat mean (multiple of 0.5)."""
     import dataclasses
 
     cfg = _cfg()
     cfg = dataclasses.replace(
         cfg, selfplay=dataclasses.replace(cfg.selfplay, symmetric_eval=True)
     )
-    mesh = make_mesh(n_data=4)
-    algo = DistributedSelfplayPPO(cfg, mesh)
-    assert algo._eval_sharded is None
-    state = algo.init_sharded_state(jax.random.key(11))
-    state, res = jax.jit(algo.eval_step)(state)
     E = cfg.selfplay.eval_episodes
-    assert np.asarray(res.rewards).shape == (E,)
-    # two-seat means: every reward is a multiple of 0.5
-    r = np.asarray(res.rewards)
-    np.testing.assert_allclose(r * 2, np.round(r * 2), atol=1e-6)
+    results = {}
+    for width in (1, 4, 8):  # 2E=8 over D=8 -> one episode per device
+        mesh = make_mesh(n_data=width)
+        algo = DistributedSelfplayPPO(cfg, mesh)
+        assert algo._eval_sharded is not None
+        state = algo.init_sharded_state(jax.random.key(11))
+        state, res = jax.jit(algo.eval_step)(state)
+        r = np.asarray(res.rewards)
+        assert r.shape == (E,)
+        np.testing.assert_allclose(r * 2, np.round(r * 2), atol=1e-6)
+        results[width] = r
+    np.testing.assert_array_equal(results[4], results[1])
+    np.testing.assert_array_equal(results[8], results[1])
